@@ -1,0 +1,45 @@
+"""GraphFlow-TPU: a TPU-native deep learning framework for graph neural networks.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of GraphFlow
+(HyTruongSon/GraphFlow): symbolic differentiation over computation graphs,
+a ~70-op differentiable op library, the Covariant Compositional Network (CCN)
+"Steerable Message Passing" model family with permutation-covariant tensor
+contractions (RisiContraction 4/10/18/50), plus GCN, Neural Graph Fingerprint,
+PATCHY-SAN, Gated Graph Sequence Networks, MLP/CNN/LSTM/GRU/autoencoders.
+
+Design (TPU-first, not a port):
+  * The reference's dynamic per-example computation graphs become trace-once
+    JIT-compiled pure functions over padded, masked graph batches.
+  * The reference's hand-written forward/backward loops become `jax.grad`;
+    hot contraction kernels get fused Pallas TPU kernels with custom VJPs.
+  * The reference's CPU-thread/CUDA-stream data parallelism becomes
+    `shard_map` over a `jax.sharding.Mesh` with `psum` gradient reduction.
+  * The reference's two precision trees (double/float) collapse into a dtype
+    parameter; bfloat16 is first-class for MXU throughput.
+
+Reference layout mapping (see SURVEY.md for the full inventory):
+  GraphFlow/{Vector,Matrix,Tensor3D,Tensor4D}.h -> jnp arrays (L0)
+  GraphFlow/GraphFlow.h (type-tag engine)       -> XLA itself (L1)
+  GraphFlow/*.h op headers                      -> graphflow_tpu.ops (L2/L3)
+  GraphFlow/{SGD,Momentum,Adam,...}.h           -> graphflow_tpu.optim (L4)
+  GraphFlow/DenseGraph.h                        -> graphflow_tpu.core.graph (L5)
+  GraphFlow/SMP_*.h, GCN_*.h, ...               -> graphflow_tpu.models (L6)
+  tests/*.cpp                                   -> tests/ (pytest, real asserts)
+"""
+
+from graphflow_tpu.version import __version__
+
+from graphflow_tpu.core.graph import DenseGraph
+from graphflow_tpu.core import prep
+from graphflow_tpu import ops
+from graphflow_tpu import optim
+from graphflow_tpu import models
+
+__all__ = [
+    "__version__",
+    "DenseGraph",
+    "prep",
+    "ops",
+    "optim",
+    "models",
+]

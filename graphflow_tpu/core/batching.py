@@ -1,0 +1,69 @@
+"""Padded batching: stacks of PreparedGraphs as a JAX pytree.
+
+The reference trains one molecule at a time on a rebuilt computation graph
+(``SMP_omega.h:798-824``); its batch dimension is a CPU thread / CUDA stream
+per replica.  On TPU the batch dimension is just a leading array axis: graphs
+are padded to common (max_nVertices, max_receptive_field) shapes by
+``prepare_graph`` and stacked here, so one jitted, vmapped step covers the
+whole minibatch and XLA maps it onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphflow_tpu.core.prep import PreparedGraph
+
+# A GraphBatch is a plain dict pytree of stacked arrays (leading batch axis).
+GraphBatch = Dict[str, Any]
+
+_STACK_FIELDS = (
+    "wl_feat", "vmask", "sizes", "nbr", "pos", "radj", "smask",
+    "norm_adj", "adj", "raw_feat",
+)
+
+
+def stack_graphs(graphs: Sequence[PreparedGraph], targets=None) -> GraphBatch:
+    """Stack prepared graphs into one batch pytree of device arrays."""
+    batch: GraphBatch = {}
+    for f in _STACK_FIELDS:
+        vals = [getattr(g, f) for g in graphs]
+        if any(v is None for v in vals):
+            continue
+        batch[f] = jnp.asarray(np.stack(vals))
+    batch["nVertices"] = jnp.asarray(
+        np.array([g.nVertices for g in graphs], dtype=np.int32))
+    if targets is not None:
+        batch["target"] = jnp.asarray(np.asarray(targets, dtype=np.float32))
+    return batch
+
+
+def batch_size(batch: GraphBatch) -> int:
+    return int(batch["vmask"].shape[0])
+
+
+def index_batch(batch: GraphBatch, idx) -> GraphBatch:
+    """Select a sub-batch (e.g. a minibatch slice) along the leading axis."""
+    return jax.tree_util.tree_map(lambda x: x[idx], batch)
+
+
+def pad_batch_to(batch: GraphBatch, size: int) -> GraphBatch:
+    """Pad the batch's leading axis to ``size`` with zero-weight graphs.
+
+    Padding graphs have vmask == 0 everywhere so they contribute exactly zero
+    loss/gradient; this keeps jit shapes static across ragged final batches.
+    """
+    b = batch_size(batch)
+    if b == size:
+        return batch
+    assert b < size
+
+    def _pad(x):
+        pad_width = [(0, size - b)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad_width)
+
+    return jax.tree_util.tree_map(_pad, batch)
