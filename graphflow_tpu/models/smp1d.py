@@ -1,0 +1,258 @@
+"""First-order Steerable Message Passing (vertex state = |phi| x C matrix).
+
+One config-driven module covering the reference's first-order SMP models:
+
+  SMP_1D               (``SMP_1D.h``)    — steerable filter W = l1*I + l2*1
+                                           applied spatially, Momentum
+  SMP_theta            (``SMP_theta.h``) — [l1*sum ; l2*1@sum] concat -> K
+                                           (2C->C), receptive-field cap, Adam
+  Unrestricted_SMP_1D  (``Unrestricted_SMP_1D.h:98-103``) — full learned
+                                           W[size] per receptive-field size
+  *_classification     — LogLoss head
+  CCN_1D               (``CCN_1D.h``)    — theta architecture (pair input is
+                                           provided by the pairgraph wrapper)
+
+Math per level (reference ``SMP_theta.h:570-615`` / ``SMP_1D.h:480-512``):
+  level 0:  f_v = LeakyReLU((H @ wl_feat_v)^T)        (1 x C matrix)
+  level l:  sum_v = SUM_{w : sp(v,w) <= 1} X[v][w] @ f_w   (s x C)
+            theta:        f = LeakyReLU([l1[s]*sum ; l2[s]*(1 @ sum)] K + b[s])
+            steerable:    f = LeakyReLU((l1[s] I + l2[s] 1) @ sum + b[s])
+            unrestricted: f = LeakyReLU(W[s] @ sum + b[s])
+  head:     vertex = LeakyReLU(column sums);  graph = SUM_v vertex;
+            <graph, W> -> SquaredLoss   (or class scores -> LogLoss)
+
+Note the per-SIZE parameters: lambda1/lambda2/b are indexed by |phi_l(v)|
+(reference ``SMP_theta.h:166-187``) — stored here as dense [V+1]-indexed
+arrays and gathered per vertex.
+
+TPU-native neighbor sum: instead of per-(v,w) permutation matmuls, each
+level's states are scattered into vertex-id space G[w, u, c], the 1-hop sum
+becomes ONE matmul (adj1 @ G) on the MXU, and the result is gathered back
+into each receptive field's local ordering.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphflow_tpu.core import prep
+from graphflow_tpu.core.graph import DenseGraph
+from graphflow_tpu.models.base import GraphModel
+from graphflow_tpu.ops import activations, losses
+
+
+@dataclasses.dataclass
+class SMP1DConfig:
+    max_nVertices: int
+    max_receptive_field: Optional[int]
+    nLevels: int
+    nChanels: int
+    nFeatures: int
+    nDepth: int
+    filter: str = "theta"             # "theta" | "steerable" | "unrestricted"
+    has_WL_ordering: bool = True
+    use_wl_features: bool = True
+    nClasses: Optional[int] = None
+    optimizer: str = "adam"
+    dtype: str = "float32"
+
+    @property
+    def feat_dim(self) -> int:
+        return (self.nFeatures * (self.nDepth + 1)
+                if self.use_wl_features else self.nFeatures)
+
+    @property
+    def P(self) -> int:
+        return (self.max_receptive_field
+                if self.max_receptive_field is not None else self.max_nVertices)
+
+
+def init_smp1d_params(key, cfg: SMP1DConfig):
+    from graphflow_tpu.optim.utils import uniform_init
+
+    dtype = jnp.dtype(cfg.dtype)
+    V1 = cfg.max_nVertices + 1  # per-size params, index by |phi| in [1, V]
+    n_per_level = 4 if cfg.filter == "theta" else 3
+    keys = jax.random.split(key, 2 + n_per_level * cfg.nLevels)
+    ki = iter(keys)
+    params = {"H": uniform_init(next(ki), (cfg.nChanels, cfg.feat_dim), dtype),
+              "levels": []}
+    for l in range(cfg.nLevels):
+        lev = {}
+        if cfg.filter == "unrestricted":
+            lev["Wf"] = uniform_init(next(ki), (V1, cfg.P, cfg.P), dtype,
+                                     fan=cfg.P)
+        else:
+            lev["lambda1"] = uniform_init(next(ki), (V1,), dtype, fan=1)
+            lev["lambda2"] = uniform_init(next(ki), (V1,), dtype, fan=1)
+        lev["b"] = uniform_init(next(ki), (V1, cfg.nChanels), dtype,
+                                fan=cfg.nChanels)
+        if cfg.filter == "theta":
+            lev["K"] = uniform_init(next(ki),
+                                    (2 * cfg.nChanels, cfg.nChanels), dtype)
+        params["levels"].append(lev)
+    if cfg.nClasses:
+        params["W"] = uniform_init(next(ki), (cfg.nClasses, cfg.nChanels), dtype)
+    else:
+        params["W"] = uniform_init(next(ki), (cfg.nChanels,), dtype)
+    return params
+
+
+def _neighbor_sum(f_prev, vid_prev, adj1, vid_cur, V, P, C):
+    """sum_v = SUM_{w in closed 1-hop of v} X[v][w] @ f_w, vectorized.
+
+    f_prev: [V, P, C] previous level states (rows beyond |phi| are zero),
+    vid_prev[w, q] = phi_{l-1}(w)[q] (sentinel V), adj1: [V, V] closed 1-hop,
+    vid_cur[v, p] = phi_l(v)[p] (sentinel V).
+    """
+    # Scatter local rows into vertex-id space: G[w, u, :] = f_w[pos(u), :]
+    G = jnp.zeros((V, V + 1, C), f_prev.dtype)
+    w_idx = jnp.arange(V)[:, None]
+    G = G.at[w_idx, vid_prev].set(f_prev)       # duplicates only at sentinel
+    G = G.at[:, V, :].set(0.0)                  # clear sentinel column
+    # One MXU matmul over the neighbor axis.
+    M = jnp.einsum("vw,wuc->vuc", adj1, G)      # [V, V+1, C]
+    # Gather back into each phi_l(v)'s local ordering.
+    Mp = jnp.pad(M, ((0, 0), (0, 0), (0, 0)))
+    sum_v = jnp.take_along_axis(Mp, vid_cur[:, :, None], axis=1)  # [V, P, C]
+    return sum_v
+
+
+def smp1d_forward(params, g, cfg: SMP1DConfig):
+    V, P, C = cfg.max_nVertices, cfg.P, cfg.nChanels
+
+    F0 = activations.leaky_relu(g["wl_feat"] @ params["H"].T)     # [V, C]
+    state = jnp.zeros((V, P, C), F0.dtype).at[:, 0, :].set(
+        F0 * g["vmask"][:, None])
+    vid_prev = jnp.full((V, P), V, jnp.int32).at[:, 0].set(
+        jnp.arange(V, dtype=jnp.int32))          # phi_0(v) = [v]
+
+    adj1 = jnp.minimum(g["adj"] + jnp.eye(V, dtype=g["adj"].dtype), 1.0)
+    adj1 = adj1 * g["vmask"][:, None] * g["vmask"][None, :]
+
+    for l in range(cfg.nLevels):
+        lev = params["levels"][l]
+        # vid for phi_l: prepared nbr[l-1] holds phi_l(v)[i]; sentinel slots
+        # are marked by the row mask.
+        vid_cur = g["nbr"][l].astype(jnp.int32)
+        rm = g["smask"][l + 1][:, :, 0]                       # [V, P] row mask
+        vid_cur = jnp.where(rm > 0, vid_cur, V)
+
+        sum_v = _neighbor_sum(state, vid_prev, adj1, vid_cur, V, P, C)
+        sum_v = sum_v * rm[:, :, None]
+
+        s = g["sizes"][l + 1]                                  # [V]
+        b = lev["b"][s]                                        # [V, C]
+        colsum = sum_v.sum(axis=1)                             # [V, C]
+
+        if cfg.filter == "theta":
+            l1, l2 = lev["lambda1"][s], lev["lambda2"][s]      # [V]
+            a1 = l1[:, None, None] * sum_v
+            a2 = l2[:, None, None] * rm[:, :, None] * colsum[:, None, :]
+            z = jnp.concatenate([a1, a2], axis=-1) @ lev["K"]
+        elif cfg.filter == "steerable":
+            l1, l2 = lev["lambda1"][s], lev["lambda2"][s]
+            z = (l1[:, None, None] * sum_v
+                 + l2[:, None, None] * rm[:, :, None] * colsum[:, None, :])
+        elif cfg.filter == "unrestricted":
+            Wv = lev["Wf"][s]                                  # [V, P, P]
+            Wv = Wv * rm[:, :, None] * rm[:, None, :]
+            z = jnp.einsum("vpq,vqc->vpc", Wv, sum_v)
+        else:
+            raise ValueError(cfg.filter)
+
+        z = z + b[:, None, :]
+        state = activations.leaky_relu(z) * rm[:, :, None]
+        vid_prev = vid_cur
+
+    vertex = activations.leaky_relu(state.sum(axis=1))         # [V, C]
+    graph_feat = (vertex * g["vmask"][:, None]).sum(axis=0)
+    if cfg.nClasses:
+        return params["W"] @ graph_feat, graph_feat
+    return jnp.dot(graph_feat, params["W"]), graph_feat
+
+
+class SMP1D(GraphModel):
+    def __init__(self, cfg: SMP1DConfig, seed: int = 0):
+        super().__init__(optimizer=cfg.optimizer)
+        self.cfg = cfg
+        self.params = init_smp1d_params(jax.random.PRNGKey(seed), cfg)
+        per_level = (["Wf", "b"] if cfg.filter == "unrestricted"
+                     else ["lambda1", "lambda2", "b"]
+                     + (["K"] if cfg.filter == "theta" else []))
+        self.param_order = (["H"]
+                            + [f"levels/{l}/{k}" for l in range(cfg.nLevels)
+                               for k in per_level]
+                            + ["W"])
+        self._finish_init()
+
+    def _prepare(self, graph: DenseGraph) -> prep.PreparedGraph:
+        return prep.prepare_graph(
+            graph, self.cfg.nLevels, self.cfg.max_nVertices,
+            self.cfg.max_receptive_field, self.cfg.nDepth,
+            has_WL_ordering=self.cfg.has_WL_ordering,
+            use_wl_features=self.cfg.use_wl_features,
+            dtype=np.dtype(self.cfg.dtype))
+
+    def _forward(self, params, g):
+        return smp1d_forward(params, g, self.cfg)
+
+    def _loss(self, params, g, target):
+        out, _ = smp1d_forward(params, g, self.cfg)
+        if self.cfg.nClasses:
+            return losses.log_loss(out, target.astype(jnp.int32))
+        return losses.squared_loss(out, target)
+
+
+# ----------------------------------------------------------------------
+# Named constructors mirroring reference classes
+# ----------------------------------------------------------------------
+
+def SMP_theta(max_nVertices, max_receptive_field, nLevels, nChanels,
+              nFeatures, nDepth, seed=0) -> SMP1D:
+    """``SMP_theta.h``: concat-K filter, receptive-field cap, Adam."""
+    return SMP1D(SMP1DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=max_receptive_field,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
+        nDepth=nDepth, filter="theta", optimizer="adam"), seed)
+
+
+def SMP_1D(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+           momentum_param=0.9, seed=0) -> SMP1D:
+    """``SMP_1D.h``: steerable spatial filter, uncapped phi, Momentum."""
+    return SMP1D(SMP1DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=None,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
+        nDepth=nDepth, filter="steerable", optimizer="momentum"), seed)
+
+
+def SMP_1D_classification(max_nVertices, nLevels, nChanels, nFeatures,
+                          nDepth, nClasses, seed=0) -> SMP1D:
+    """``SMP_1D_classification.h``: + Softmax/LogLoss head."""
+    return SMP1D(SMP1DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=None,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
+        nDepth=nDepth, filter="steerable", nClasses=nClasses,
+        optimizer="momentum"), seed)
+
+
+def Unrestricted_SMP_1D(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+                        seed=0) -> SMP1D:
+    """``Unrestricted_SMP_1D.h:98-103``: full learned W[size] filters."""
+    return SMP1D(SMP1DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=None,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
+        nDepth=nDepth, filter="unrestricted", optimizer="momentum"), seed)
+
+
+def CCN_1D(max_nVertices, max_receptive_field, nLevels, nChanels, nFeatures,
+           nDepth, seed=0) -> SMP1D:
+    """``CCN_1D.h``: the theta architecture (its pair-of-graphs driver lives
+    in the pairgraph module)."""
+    return SMP_theta(max_nVertices, max_receptive_field, nLevels, nChanels,
+                     nFeatures, nDepth, seed)

@@ -1,0 +1,260 @@
+"""Second-order Steerable Message Passing (the CCN flagship family).
+
+One config-driven module covering the reference's second-order SMP models:
+
+  SMP_omega          (``SMP_omega.h``)  — contraction 18, receptive-field cap
+  SMP_beta           (``SMP_beta.h``)   — contraction 18, no cap
+  SMP_gamma          (``SMP_gamma.h``)  — contraction 4
+  SMP_2D_ver6        (``SMP_2D_ver6.h``)— contraction 10
+  SMP_2D_ver7        (``SMP_2D_ver7.h``)— contraction 50
+  SMP_2D_ver8        (``SMP_2D_ver8.h``)— contraction 18 (Momentum)
+  *_physics          (``SMP_omega_physics.h``) — raw features, Coulomb adj
+  *_classification   — LogLoss head over class scores
+
+Math per level (reference ``SMP_omega.h:607-692``):
+  level 0:  F_v = LeakyReLU(H @ wl_feat_v)            as a 1x1xC tensor
+  level l:  for each w in phi_l(v): gather X f_w X^T  (permutation alignment)
+            T = stack of gathered tensors; Y = RisiContraction_k(T, radj)
+            Z = reshape(Y) @ K_l + b_l;  F = LeakyReLU(Z)  (s x s x C)
+  head:     vertex = LeakyReLU(sum_{p1,p2} F);  graph = sum_v vertex
+            predict = <graph, W>;  loss = 0.5 (predict - target)^2
+
+TPU-native re-design: the per-(v,w) permutation matmuls X f X^T become one
+vectorized two-axis gather with a zero sentinel (see
+``graphflow_tpu.core.prep``), every vertex is processed in one vmapped
+contraction bank call, and the whole per-molecule "graph rebuild" is a
+trace-once jitted function over padded arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphflow_tpu.core import prep
+from graphflow_tpu.core.graph import DenseGraph
+from graphflow_tpu.models.base import GraphModel
+from graphflow_tpu.ops import activations, contractions, losses
+
+
+_CONTRACTIONS = {
+    4: (contractions.risi_contraction_4, 4),
+    10: (contractions.risi_contraction_10, 10),
+    18: (contractions.risi_contraction_18, 18),
+    50: (contractions.risi_contraction_50, 50),
+}
+
+
+@dataclasses.dataclass
+class SMP2DConfig:
+    max_nVertices: int
+    max_receptive_field: Optional[int]
+    nLevels: int
+    nChanels: int
+    nFeatures: int
+    nDepth: int
+    has_WL_ordering: bool = True
+    use_coulomb: bool = False
+    use_wl_features: bool = True      # False => physics variants
+    contraction: int = 18             # 4 | 10 | 18 | 50
+    nClasses: Optional[int] = None    # set => classification head (LogLoss)
+    optimizer: str = "adam"
+    dtype: str = "float32"
+
+    @property
+    def feat_dim(self) -> int:
+        return (self.nFeatures * (self.nDepth + 1)
+                if self.use_wl_features else self.nFeatures)
+
+    @property
+    def P(self) -> int:
+        return (self.max_receptive_field
+                if self.max_receptive_field is not None else self.max_nVertices)
+
+
+def init_smp2d_params(key, cfg: SMP2DConfig):
+    """Parameters in the reference's registration order
+    (``SMP_omega.h:289-295``): H, then per level (K, b), then W."""
+    from graphflow_tpu.optim.utils import uniform_init
+
+    nCon = _CONTRACTIONS[cfg.contraction][1]
+    dtype = jnp.dtype(cfg.dtype)
+    keys = jax.random.split(key, 2 + 2 * cfg.nLevels)
+    params = {
+        "H": uniform_init(keys[0], (cfg.nChanels, cfg.feat_dim), dtype),
+        "levels": [
+            {"K": uniform_init(keys[1 + 2 * l],
+                               (nCon * cfg.nChanels, cfg.nChanels), dtype),
+             "b": uniform_init(keys[2 + 2 * l], (cfg.nChanels,), dtype)}
+            for l in range(cfg.nLevels)
+        ],
+    }
+    head_dim = cfg.nClasses if cfg.nClasses else 1
+    if cfg.nClasses:
+        params["W"] = uniform_init(keys[-1], (cfg.nClasses, cfg.nChanels), dtype)
+    else:
+        params["W"] = uniform_init(keys[-1], (cfg.nChanels,), dtype)
+    return params
+
+
+def _gather_neighbor_tensors(state_pad, nbr, pos):
+    """The TPU replacement for per-(v, w) permutation matmuls X f_w X^T.
+
+    state_pad: [V, P+1, P+1, C] spatially zero-padded previous level,
+    nbr: [V, P] neighbor ids, pos: [V, P, P] position maps (sentinel P).
+    Returns T: [V, P, P, P, C]: T[v, i, p1, p2] = f_{w_i}[pos[v,i,p1],
+    pos[v,i,p2]] with absent vertices contributing exact zeros.
+    """
+    def per_vertex(nbrv, posv):
+        Fn = state_pad[nbrv]                                   # [P, P+1, P+1, C]
+        Fn = jnp.take_along_axis(Fn, posv[:, :, None, None], axis=1)  # [P,P,P+1,C]
+        Fn = jnp.take_along_axis(Fn, posv[:, None, :, None], axis=2)  # [P,P,P,C]
+        return Fn
+
+    return jax.vmap(per_vertex)(nbr, pos)
+
+
+def smp2d_forward(params, g, cfg: SMP2DConfig):
+    """Pure forward for one prepared graph. Returns (prediction, graph_feat).
+
+    ``g`` is one element of a stacked GraphBatch (dict of arrays without the
+    batch axis).
+    """
+    contract_fn, nCon = _CONTRACTIONS[cfg.contraction]
+    V, P, C = cfg.max_nVertices, cfg.P, cfg.nChanels
+
+    # Level 0 (reference SMP_omega.h:616-627): 1x1xC vertex tensors.
+    F0 = activations.leaky_relu(g["wl_feat"] @ params["H"].T)   # [V, C]
+    state = jnp.zeros((V, P, P, C), F0.dtype).at[:, 0, 0, :].set(
+        F0 * g["vmask"][:, None])
+
+    for l in range(cfg.nLevels):
+        Kl, bl = params["levels"][l]["K"], params["levels"][l]["b"]
+        state_pad = jnp.pad(state, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        T = _gather_neighbor_tensors(state_pad, g["nbr"][l], g["pos"][l])
+        if cfg.contraction == 4:
+            Y = jax.vmap(contract_fn)(T)                        # no adjacency
+        else:
+            Y = jax.vmap(contract_fn)(T, g["radj"][l])          # [V,P,P,nCon*C]
+        Z = Y.reshape(V, P * P, nCon * C) @ Kl + bl[None, None, :]
+        state = activations.leaky_relu(Z).reshape(V, P, P, C)
+        state = state * g["smask"][l + 1][:, :, :, None]
+
+    # Head (reference SMP_omega.h:674-692)
+    vertex = activations.leaky_relu(state.sum(axis=(1, 2)))     # [V, C]
+    graph_feat = (vertex * g["vmask"][:, None]).sum(axis=0)     # [C]
+    if cfg.nClasses:
+        scores = params["W"] @ graph_feat                       # [nClasses]
+        return scores, graph_feat
+    predict = jnp.dot(graph_feat, params["W"])
+    return predict, graph_feat
+
+
+class SMP2D(GraphModel):
+    """Config-driven second-order SMP model with the reference API."""
+
+    def __init__(self, cfg: SMP2DConfig, seed: int = 0):
+        super().__init__(optimizer=cfg.optimizer)
+        self.cfg = cfg
+        self.params = init_smp2d_params(jax.random.PRNGKey(seed), cfg)
+        self.param_order = (["H"]
+                            + [f"levels/{l}/{k}" for l in range(cfg.nLevels)
+                               for k in ("K", "b")]
+                            + ["W"])
+        self._finish_init()
+
+    def _prepare(self, graph: DenseGraph) -> prep.PreparedGraph:
+        return prep.prepare_graph(
+            graph, self.cfg.nLevels, self.cfg.max_nVertices,
+            self.cfg.max_receptive_field, self.cfg.nDepth,
+            has_WL_ordering=self.cfg.has_WL_ordering,
+            use_coulomb=self.cfg.use_coulomb,
+            use_wl_features=self.cfg.use_wl_features,
+            dtype=np.dtype(self.cfg.dtype),
+        )
+
+    def _forward(self, params, g):
+        return smp2d_forward(params, g, self.cfg)
+
+    def _loss(self, params, g, target):
+        out, _ = smp2d_forward(params, g, self.cfg)
+        if self.cfg.nClasses:
+            return losses.log_loss(out, target.astype(jnp.int32))
+        return losses.squared_loss(out, target)
+
+
+# ----------------------------------------------------------------------
+# Named constructors mirroring the reference model classes
+# ----------------------------------------------------------------------
+
+def SMP_omega(max_nVertices, max_receptive_field, nLevels, nChanels,
+              nFeatures, nDepth, has_WL_ordering=True, use_coulomb=False,
+              seed=0) -> SMP2D:
+    """``SMP_omega.h:31-113``: contraction 18 + receptive-field cap + Adam."""
+    return SMP2D(SMP2DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=max_receptive_field,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
+        nDepth=nDepth, has_WL_ordering=has_WL_ordering,
+        use_coulomb=use_coulomb, contraction=18, optimizer="adam"), seed)
+
+
+def SMP_beta(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+             use_coulomb=False, seed=0) -> SMP2D:
+    """``SMP_beta.h``: omega without the receptive-field cap
+    (``SMP_beta.h:199-208``)."""
+    return SMP2D(SMP2DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=None,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
+        nDepth=nDepth, use_coulomb=use_coulomb, contraction=18,
+        optimizer="adam"), seed)
+
+
+def SMP_gamma(max_nVertices, max_receptive_field, nLevels, nChanels,
+              nFeatures, nDepth, seed=0) -> SMP2D:
+    """``SMP_gamma.h:199-207``: the RisiContraction_4 variant."""
+    return SMP2D(SMP2DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=max_receptive_field,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
+        nDepth=nDepth, contraction=4, optimizer="adam"), seed)
+
+
+def SMP_omega_physics(max_nVertices, max_receptive_field, nLevels, nChanels,
+                      nFeatures, seed=0) -> SMP2D:
+    """``SMP_omega_physics.h``: raw features (no WL), Coulomb adjacency."""
+    return SMP2D(SMP2DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=max_receptive_field,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures, nDepth=0,
+        use_wl_features=False, use_coulomb=True, contraction=18,
+        optimizer="adam"), seed)
+
+
+def SMP_2D_ver6(max_nVertices, max_receptive_field, nLevels, nChanels,
+                nFeatures, nDepth, seed=0) -> SMP2D:
+    """``SMP_2D_ver6.h:134-141``: RisiContraction_10 + K(10C->C)."""
+    return SMP2D(SMP2DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=max_receptive_field,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
+        nDepth=nDepth, contraction=10, optimizer="momentum"), seed)
+
+
+def SMP_2D_ver7(max_nVertices, max_receptive_field, nLevels, nChanels,
+                nFeatures, nDepth, seed=0) -> SMP2D:
+    """``SMP_2D_ver7.h:134-141``: RisiContraction_50 + K(50C->C)."""
+    return SMP2D(SMP2DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=max_receptive_field,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
+        nDepth=nDepth, contraction=50, optimizer="momentum"), seed)
+
+
+def SMP_2D_ver8(max_nVertices, max_receptive_field, nLevels, nChanels,
+                nFeatures, nDepth, seed=0) -> SMP2D:
+    """``SMP_2D_ver8.h:134-141``: RisiContraction_18 + K(18C->C),
+    Momentum optimizer."""
+    return SMP2D(SMP2DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=max_receptive_field,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
+        nDepth=nDepth, contraction=18, optimizer="momentum"), seed)

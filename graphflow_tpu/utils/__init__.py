@@ -1,0 +1,1 @@
+from graphflow_tpu.utils import checkpoint
