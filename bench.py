@@ -3,9 +3,11 @@ reduction) on the available accelerator.
 
 The reference publishes no numbers (BASELINE.md); its measurement harness is
 tests/test_RisiContraction_18_gpu.cu (kernel wall-ms + parity).  This bench
-measures the TPU contraction-bank layer at production-ish shapes and reports
-GFLOP/s, with vs_baseline = speedup over the same XLA program on the host CPU
-(the reference is a CPU framework; its GPU path is a single-kernel offload).
+measures the TPU contraction-bank layer at production shapes and reports
+GFLOP/s.  vs_baseline is the per-workload speedup over the ACTUAL reference
+C++ kernels (RisiContraction_18 + MatMul forward) measured on this machine by
+tools/bench_reference.cpp and recorded in BASELINE_MEASURED.json — i.e.
+"same task, reference CPU framework vs this TPU framework".
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -62,16 +64,26 @@ def run(device, B=256, P=16, C=32, iters=20, warmup=3):
 
 
 def main():
+    import os
     import jax
 
+    B, P, C = 256, 16, 32
     accel = jax.devices()[0]
-    gflops = run(accel)
-    try:
-        cpu = jax.devices("cpu")[0]
-        cpu_gflops = run(cpu, iters=3, warmup=1)
-        vs_baseline = gflops / cpu_gflops
-    except Exception:
-        vs_baseline = 1.0
+    gflops = run(accel, B=B, P=P, C=C)
+
+    # Reference baseline: seconds per (P=16, C=32) vertex-neighborhood layer
+    # on the reference C++ kernels (tools/bench_reference.cpp).
+    vs_baseline = 1.0
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_MEASURED.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if base["P"] == P and base["C"] == C:
+            ref_per_unit = base["seconds_per_call"] / base["B"]
+            our_per_unit = layer_flops(B, P, C) / (gflops * 1e9) / B
+            vs_baseline = ref_per_unit / our_per_unit
+
     print(json.dumps({
         "metric": "risi18_layer_gflops",
         "value": round(gflops, 2),

@@ -23,7 +23,7 @@ GraphBatch = Dict[str, Any]
 
 _STACK_FIELDS = (
     "wl_feat", "vmask", "sizes", "nbr", "pos", "radj", "smask",
-    "norm_adj", "adj", "raw_feat",
+    "norm_adj", "adj", "raw_feat", "sp", "dist",
 )
 
 

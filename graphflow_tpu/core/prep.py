@@ -182,6 +182,7 @@ class PreparedGraph:
     adj: Optional[np.ndarray] = None        # [V, V] 0/1 adjacency, zero-padded
     sp: Optional[np.ndarray] = None         # [V, V] shortest paths (INF off-graph)
     raw_feat: Optional[np.ndarray] = None   # [V, F] raw (pre-WL) features
+    dist: Optional[np.ndarray] = None       # [V, V] geometric distances, zero-pad
 
 
 def prepare_graph(
@@ -264,9 +265,11 @@ def prepare_graph(
     sp_pad[:n, :n] = sp
     raw = np.zeros((V, F), dtype=dtype)
     raw[:n] = graph.feature.astype(dtype)
+    dist_pad = np.zeros((V, V), dtype=dtype)
+    dist_pad[:n, :n] = graph.distance.astype(dtype)
 
     return PreparedGraph(
         wl_feat=wl_feat, vmask=vmask, sizes=sizes, nbr=nbr, pos=pos,
         radj=radj, smask=smask, nVertices=n,
-        norm_adj=na, adj=adj_pad, sp=sp_pad, raw_feat=raw,
+        norm_adj=na, adj=adj_pad, sp=sp_pad, raw_feat=raw, dist=dist_pad,
     )

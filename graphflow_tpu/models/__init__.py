@@ -7,3 +7,7 @@ from graphflow_tpu.models.smp1d import (
     SMP1D, SMP1DConfig, SMP_theta, SMP_1D, SMP_1D_classification,
     Unrestricted_SMP_1D, CCN_1D,
 )
+from graphflow_tpu.models.gcn import (
+    GCN, GCNConfig, GCN_1D, GCN_2D, GCN_3D, GCN_1D_Distance, GCN_2D_Distance,
+    GCN_3D_Distance, GCN_MW, NeuralFingerprint,
+)

@@ -1,0 +1,345 @@
+"""Generalized Steerable Convolutional Networks (GCN family) + relatives.
+
+Covers the reference models:
+
+  GCN_1D / GCN_2D / GCN_3D      (``GCN_1D.h`` etc.) — WL depth-bucketed
+      features, per-level hidden = Softmax(W1 @ feat + W2 @ agg(neighbors)),
+      neighbor radius min(l, max_Radius), aggregation of 1st/2nd/3rd order
+      (RisiLayer1D/2D/3D; 3D adds KMax pooling to nHiddens,
+      ``GCN_3D.h:77-87``), linear-regression head, Momentum.
+  GCN_*_Distance                (``GCN_1D_Distance.h:98-161``) — a second
+      channel whose per-vertex input is the SORTED distance column; heads
+      concatenated ([2 nHiddens] regression weights).
+  NeuralFingerprint             (``NeuralFingerprint.h:58-106``) — Duvenaud
+      fingerprints: raw features at every level, open 1-hop SumVectors
+      aggregation.
+  GCN_MW                        (``GCN_MW.h:209-221``) — Kipf-Welling GCN:
+      hidden_l = LeakyReLU(norm_adj @ hidden_{l-1} @ W_l), SumRows head.
+
+TPU-native design: neighborhood aggregation is one masked matmul per level
+(M_l @ hidden) where M_l[v, u] = [sp(v, u) <= min(l, R)]; the 2nd/3rd-order
+RisiLayer products use the closed forms from ``graphflow_tpu.ops.reductions``
+vectorized over vertices, so nothing exceeds O(V^2 H + V H^3) per level.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphflow_tpu.core import prep
+from graphflow_tpu.core.graph import DenseGraph
+from graphflow_tpu.models.base import GraphModel
+from graphflow_tpu.ops import activations, losses
+
+
+@dataclasses.dataclass
+class GCNConfig:
+    nLevels: int
+    max_nVertices: int
+    nFeatures: int
+    nHiddens: int
+    nDepth: int
+    max_Radius: int
+    order: int = 1                    # 1 | 2 | 3 (RisiLayer order)
+    momentum_param: float = 0.9
+    use_distance_channel: bool = False
+    optimizer: str = "momentum"
+    dtype: str = "float32"
+
+    @property
+    def feat_dim(self):
+        return self.nFeatures * (self.nDepth + 1)
+
+
+def init_gcn_params(key, cfg: GCNConfig):
+    from graphflow_tpu.optim.utils import uniform_init
+
+    dtype = jnp.dtype(cfg.dtype)
+    n_keys = 4 * (cfg.nLevels + 1) + 2
+    keys = iter(jax.random.split(key, n_keys))
+    params = {"levels": []}
+    for l in range(cfg.nLevels + 1):
+        lev = {"W1": uniform_init(next(keys), (cfg.nHiddens, cfg.feat_dim),
+                                  dtype)}
+        if l > 0:
+            lev["W2"] = uniform_init(next(keys),
+                                     (cfg.nHiddens, cfg.nHiddens), dtype)
+        params["levels"].append(lev)
+    if cfg.use_distance_channel:
+        params["dlevels"] = []
+        for l in range(cfg.nLevels + 1):
+            lev = {"W1": uniform_init(next(keys),
+                                      (cfg.nHiddens, cfg.max_nVertices), dtype)}
+            if l > 0:
+                lev["W2"] = uniform_init(next(keys),
+                                         (cfg.nHiddens, cfg.nHiddens), dtype)
+            params["dlevels"].append(lev)
+        params["W"] = uniform_init(next(keys), (2 * cfg.nHiddens,), dtype)
+    else:
+        params["W"] = uniform_init(next(keys), (cfg.nHiddens,), dtype)
+    return params
+
+
+def _aggregate(M, hidden, order: int, nHiddens: int):
+    """Masked RisiLayer-{1,2,3}D over each vertex's neighbor set.
+
+    M: [V, V] 0/1 neighborhood mask, hidden: [V, H].
+    """
+    if order == 1:
+        return M @ hidden                                     # RisiLayer1D
+    if order == 2:
+        # Y_v = sum_u M_vu x_u (Stot_v - s_u), closed form of RisiLayer2D.h
+        s = hidden.sum(axis=1)                                # [V]
+        Stot = M @ s                                          # [V]
+        return Stot[:, None] * (M @ hidden) - M @ (s[:, None] * hidden)
+    if order == 3:
+        # Inclusion-exclusion over ordered distinct triples (RisiLayer3D.h),
+        # then KMax pooling to nHiddens (GCN_3D.h:84: KMax(neighbor, H)).
+        u1 = M @ hidden                                       # [V, H]
+        u2 = jnp.einsum("vu,ui,uj->vij", M, hidden, hidden)
+        u3 = jnp.einsum("vu,ui,uj,uk->vijk", M, hidden, hidden, hidden)
+        uuu = jnp.einsum("vi,vj,vk->vijk", u1, u1, u1)
+        c12 = jnp.einsum("vij,vk->vijk", u2, u1)
+        c13 = jnp.einsum("vik,vj->vijk", u2, u1)
+        c23 = jnp.einsum("vi,vjk->vijk", u1, u2)
+        Y = uuu - c12 - c13 - c23 + 2.0 * u3                  # [V, H, H, H]
+        flat = Y.reshape(Y.shape[0], -1)
+        return jnp.sort(flat, axis=1)[:, -nHiddens:]          # KMax (ascending)
+    raise ValueError(order)
+
+
+def _channel_forward(levels, feat, M_of, vmask, order, nHiddens):
+    """One GCN channel: returns final [H] summed top-level hidden."""
+    hidden = activations.softmax(feat @ levels[0]["W1"].T) * vmask[:, None]
+    for l in range(1, len(levels)):
+        part1 = feat @ levels[l]["W1"].T
+        agg = _aggregate(M_of(l), hidden, order, nHiddens)
+        part2 = agg @ levels[l]["W2"].T
+        hidden = activations.softmax(part1 + part2) * vmask[:, None]
+    return hidden.sum(axis=0), hidden
+
+
+def gcn_forward(params, g, cfg: GCNConfig):
+    vmask = g["vmask"]
+    sp = g["sp"]
+
+    def M_of(l):
+        radius = min(l, cfg.max_Radius)
+        return ((sp <= radius).astype(vmask.dtype)
+                * vmask[:, None] * vmask[None, :])
+
+    final_vertex, _ = _channel_forward(params["levels"], g["wl_feat"], M_of,
+                                       vmask, cfg.order, cfg.nHiddens)
+    if not cfg.use_distance_channel:
+        predict = jnp.dot(final_vertex, params["W"])
+        return predict, final_vertex
+
+    # Distance channel (GCN_1D_Distance.h:98-161): per-vertex input is the
+    # ascending-sorted distance column, zero for padding slots.
+    dist_col = g["dist"].T * vmask[:, None] * vmask[None, :]  # row v = d(:, v)
+    dist_sorted = jnp.sort(dist_col, axis=1)
+    final_distance, _ = _channel_forward(
+        params["dlevels"], dist_sorted, M_of, vmask, 1, cfg.nHiddens)
+    final = jnp.concatenate([final_vertex, final_distance])
+    return jnp.dot(final, params["W"]), final
+
+
+class GCN(GraphModel):
+    """GCN_{1,2,3}D (+_Distance) with the reference API."""
+
+    def __init__(self, cfg: GCNConfig, seed: int = 0):
+        super().__init__(optimizer=cfg.optimizer,
+                         **({"gamma": cfg.momentum_param}
+                            if cfg.optimizer == "momentum" else {}))
+        self.cfg = cfg
+        self.params = init_gcn_params(jax.random.PRNGKey(seed), cfg)
+        order = []
+        for l in range(cfg.nLevels + 1):
+            order.append(f"levels/{l}/W1")
+            if l > 0:
+                order.append(f"levels/{l}/W2")
+        if cfg.use_distance_channel:
+            for l in range(cfg.nLevels + 1):
+                order.append(f"dlevels/{l}/W1")
+                if l > 0:
+                    order.append(f"dlevels/{l}/W2")
+        order.append("W")
+        self.param_order = order
+        self._finish_init()
+
+    def _prepare(self, graph: DenseGraph):
+        return prep.prepare_graph(
+            graph, self.cfg.nLevels, self.cfg.max_nVertices,
+            max_receptive_field=1, nDepth=self.cfg.nDepth,
+            dtype=np.dtype(self.cfg.dtype))
+
+    def _forward(self, params, g):
+        return gcn_forward(params, g, self.cfg)
+
+    def _loss(self, params, g, target):
+        pred, _ = gcn_forward(params, g, self.cfg)
+        return losses.squared_loss(pred, target)
+
+
+def GCN_1D(nLevels, max_nVertices, nFeatures, nHiddens, nDepth, max_Radius,
+           momentum_param=0.9, seed=0) -> GCN:
+    """``GCN_1D.h:30-41``."""
+    return GCN(GCNConfig(nLevels, max_nVertices, nFeatures, nHiddens, nDepth,
+                         max_Radius, order=1,
+                         momentum_param=momentum_param), seed)
+
+
+def GCN_2D(nLevels, max_nVertices, nFeatures, nHiddens, nDepth, max_Radius,
+           momentum_param=0.9, seed=0) -> GCN:
+    """``GCN_2D.h``: RisiLayer2D aggregation."""
+    return GCN(GCNConfig(nLevels, max_nVertices, nFeatures, nHiddens, nDepth,
+                         max_Radius, order=2,
+                         momentum_param=momentum_param), seed)
+
+
+def GCN_3D(nLevels, max_nVertices, nFeatures, nHiddens, nDepth, max_Radius,
+           momentum_param=0.9, seed=0) -> GCN:
+    """``GCN_3D.h``: RisiLayer3D + KMax aggregation."""
+    return GCN(GCNConfig(nLevels, max_nVertices, nFeatures, nHiddens, nDepth,
+                         max_Radius, order=3,
+                         momentum_param=momentum_param), seed)
+
+
+def GCN_1D_Distance(nLevels, max_nVertices, nFeatures, nHiddens, nDepth,
+                    max_Radius, momentum_param=0.9, seed=0) -> GCN:
+    """``GCN_1D_Distance.h``: + sorted-distance channel."""
+    return GCN(GCNConfig(nLevels, max_nVertices, nFeatures, nHiddens, nDepth,
+                         max_Radius, order=1, use_distance_channel=True,
+                         momentum_param=momentum_param), seed)
+
+
+def GCN_2D_Distance(nLevels, max_nVertices, nFeatures, nHiddens, nDepth,
+                    max_Radius, momentum_param=0.9, seed=0) -> GCN:
+    return GCN(GCNConfig(nLevels, max_nVertices, nFeatures, nHiddens, nDepth,
+                         max_Radius, order=2, use_distance_channel=True,
+                         momentum_param=momentum_param), seed)
+
+
+def GCN_3D_Distance(nLevels, max_nVertices, nFeatures, nHiddens, nDepth,
+                    max_Radius, momentum_param=0.9, seed=0) -> GCN:
+    return GCN(GCNConfig(nLevels, max_nVertices, nFeatures, nHiddens, nDepth,
+                         max_Radius, order=3, use_distance_channel=True,
+                         momentum_param=momentum_param), seed)
+
+
+# ----------------------------------------------------------------------
+# Kipf-Welling GCN (GCN_MW)
+# ----------------------------------------------------------------------
+
+@dataclasses.dataclass
+class GCNMWConfig:
+    nLevels: int
+    max_nVertices: int
+    nFeatures: int
+    nHiddens: int
+    nDepth: int
+    momentum_param: float = 0.9
+    dtype: str = "float32"
+
+
+class GCN_MW(GraphModel):
+    """``GCN_MW.h``: hidden_l = LeakyReLU(norm_adj @ hidden_{l-1} @ W_l)."""
+
+    def __init__(self, nLevels, max_nVertices, nFeatures, nHiddens, nDepth,
+                 momentum_param=0.9, seed=0):
+        super().__init__(optimizer="momentum", gamma=momentum_param)
+        self.cfg = GCNMWConfig(nLevels, max_nVertices, nFeatures, nHiddens,
+                               nDepth, momentum_param)
+        from graphflow_tpu.optim.utils import uniform_init
+        cfg = self.cfg
+        feat_dim = nFeatures * (nDepth + 1)
+        keys = iter(jax.random.split(jax.random.PRNGKey(seed), nLevels + 2))
+        self.params = {
+            "levels": [
+                {"W": uniform_init(next(keys),
+                                   (feat_dim if l == 0 else nHiddens,
+                                    nHiddens), jnp.float32)}
+                for l in range(nLevels + 1)],
+            "W": uniform_init(next(keys), (nHiddens,), jnp.float32),
+        }
+        self.param_order = [f"levels/{l}/W" for l in range(nLevels + 1)] + ["W"]
+        self._finish_init()
+
+    def _prepare(self, graph: DenseGraph):
+        return prep.prepare_graph(graph, self.cfg.nLevels,
+                                  self.cfg.max_nVertices,
+                                  max_receptive_field=1,
+                                  nDepth=self.cfg.nDepth)
+
+    def _forward(self, params, g):
+        hidden = g["wl_feat"]
+        na = g["norm_adj"]
+        for lev in params["levels"]:
+            hidden = activations.leaky_relu(na @ hidden @ lev["W"])
+            hidden = hidden * g["vmask"][:, None]
+        final = hidden.sum(axis=0)                 # SumRows head (GCN_MW.h)
+        return jnp.dot(final, params["W"]), final
+
+    def _loss(self, params, g, target):
+        pred, _ = self._forward(params, g)
+        return losses.squared_loss(pred, target)
+
+
+# ----------------------------------------------------------------------
+# Neural Graph Fingerprint (Duvenaud)
+# ----------------------------------------------------------------------
+
+class NeuralFingerprint(GraphModel):
+    """``NeuralFingerprint.h``: raw features at every level, open 1-hop
+    SumVectors aggregation, Softmax units, Momentum."""
+
+    def __init__(self, nLevels, max_nVertices, nFeatures, nHiddens,
+                 momentum_param=0.9, seed=0):
+        super().__init__(optimizer="momentum", gamma=momentum_param)
+        from graphflow_tpu.optim.utils import uniform_init
+        self.nLevels, self.max_nVertices = nLevels, max_nVertices
+        self.nFeatures, self.nHiddens = nFeatures, nHiddens
+        keys = iter(jax.random.split(jax.random.PRNGKey(seed),
+                                     2 * (nLevels + 1) + 1))
+        self.params = {"levels": [], "W": None}
+        for l in range(nLevels + 1):
+            lev = {"W1": uniform_init(next(keys), (nHiddens, nFeatures),
+                                      jnp.float32)}
+            if l > 0:
+                lev["W2"] = uniform_init(next(keys), (nHiddens, nHiddens),
+                                         jnp.float32)
+            self.params["levels"].append(lev)
+        self.params["W"] = uniform_init(next(keys), (nHiddens,), jnp.float32)
+        order = []
+        for l in range(nLevels + 1):
+            order.append(f"levels/{l}/W1")
+            if l > 0:
+                order.append(f"levels/{l}/W2")
+        self.param_order = order + ["W"]
+        self._finish_init()
+
+    def _prepare(self, graph: DenseGraph):
+        return prep.prepare_graph(graph, self.nLevels, self.max_nVertices,
+                                  max_receptive_field=1, nDepth=0,
+                                  use_wl_features=False)
+
+    def _forward(self, params, g):
+        feat, vmask = g["raw_feat"], g["vmask"]
+        M = g["adj"] * vmask[:, None] * vmask[None, :]   # open 1-hop
+        hidden = activations.softmax(
+            feat @ params["levels"][0]["W1"].T) * vmask[:, None]
+        for l in range(1, self.nLevels + 1):
+            part1 = feat @ params["levels"][l]["W1"].T
+            part2 = (M @ hidden) @ params["levels"][l]["W2"].T
+            hidden = activations.softmax(part1 + part2) * vmask[:, None]
+        final = hidden.sum(axis=0)
+        return jnp.dot(final, params["W"]), final
+
+    def _loss(self, params, g, target):
+        pred, _ = self._forward(params, g)
+        return losses.squared_loss(pred, target)
