@@ -11,3 +11,14 @@ from graphflow_tpu.models.gcn import (
     GCN, GCNConfig, GCN_1D, GCN_2D, GCN_3D, GCN_1D_Distance, GCN_2D_Distance,
     GCN_3D_Distance, GCN_MW, NeuralFingerprint,
 )
+from graphflow_tpu.models.pairgraphs import (
+    SMPPairGraphs, SMP_omega_pairgraphs, SMP_beta_pairgraphs,
+    SMP_gamma_pairgraphs, SMP_sigma_pairgraphs, SMP_theta_pairgraphs,
+    GCNKernel, GCN_1D_Kernel, GCN_2D_Kernel, GCN_3D_Kernel,
+)
+from graphflow_tpu.models.gru_gcn import (
+    GRU_GCN, GRU_GCN_1D, GRU_GCN_2D, GRU_GCN_3D,
+)
+from graphflow_tpu.models.gca import GCA_1D, CGCN, CGCN_1D, CGCN_2D
+from graphflow_tpu.models.lcnn import LCNN
+from graphflow_tpu.models.rnn import LSTM, GRU

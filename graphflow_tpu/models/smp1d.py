@@ -123,12 +123,14 @@ def _neighbor_sum(f_prev, vid_prev, adj1, vid_cur, V, P, C):
     return sum_v
 
 
-def smp1d_forward(params, g, cfg: SMP1DConfig):
+def smp1d_states(params, g, cfg: SMP1DConfig):
+    """Run the tower, returning per-level matrix states [V, P, C]."""
     V, P, C = cfg.max_nVertices, cfg.P, cfg.nChanels
 
     F0 = activations.leaky_relu(g["wl_feat"] @ params["H"].T)     # [V, C]
     state = jnp.zeros((V, P, C), F0.dtype).at[:, 0, :].set(
         F0 * g["vmask"][:, None])
+    states = [state]
     vid_prev = jnp.full((V, P), V, jnp.int32).at[:, 0].set(
         jnp.arange(V, dtype=jnp.int32))          # phi_0(v) = [v]
 
@@ -168,10 +170,26 @@ def smp1d_forward(params, g, cfg: SMP1DConfig):
 
         z = z + b[:, None, :]
         state = activations.leaky_relu(z) * rm[:, :, None]
+        states.append(state)
         vid_prev = vid_cur
+    return states
 
+
+def _graph_feature(state, vmask):
+    """ShrinkMatrix(rows) -> LeakyReLU -> masked vertex sum."""
     vertex = activations.leaky_relu(state.sum(axis=1))         # [V, C]
-    graph_feat = (vertex * g["vmask"][:, None]).sum(axis=0)
+    return (vertex * vmask[:, None]).sum(axis=0)
+
+
+def smp1d_level_features(params, g, cfg: SMP1DConfig):
+    """Per-level graph features for the pairgraph towers: [(L+1), C]."""
+    states = smp1d_states(params, g, cfg)
+    return jnp.stack([_graph_feature(s, g["vmask"]) for s in states])
+
+
+def smp1d_forward(params, g, cfg: SMP1DConfig):
+    states = smp1d_states(params, g, cfg)
+    graph_feat = _graph_feature(states[-1], g["vmask"])
     if cfg.nClasses:
         return params["W"] @ graph_feat, graph_feat
     return jnp.dot(graph_feat, params["W"]), graph_feat

@@ -118,12 +118,9 @@ def _gather_neighbor_tensors(state_pad, nbr, pos):
     return jax.vmap(per_vertex)(nbr, pos)
 
 
-def smp2d_forward(params, g, cfg: SMP2DConfig):
-    """Pure forward for one prepared graph. Returns (prediction, graph_feat).
-
-    ``g`` is one element of a stacked GraphBatch (dict of arrays without the
-    batch axis).
-    """
+def smp2d_states(params, g, cfg: SMP2DConfig):
+    """Run the tower, returning the per-level vertex tensor states
+    (list of [V, P, P, C], levels 0..nLevels)."""
     contract_fn, nCon = _CONTRACTIONS[cfg.contraction]
     V, P, C = cfg.max_nVertices, cfg.P, cfg.nChanels
 
@@ -131,6 +128,7 @@ def smp2d_forward(params, g, cfg: SMP2DConfig):
     F0 = activations.leaky_relu(g["wl_feat"] @ params["H"].T)   # [V, C]
     state = jnp.zeros((V, P, P, C), F0.dtype).at[:, 0, 0, :].set(
         F0 * g["vmask"][:, None])
+    states = [state]
 
     for l in range(cfg.nLevels):
         Kl, bl = params["levels"][l]["K"], params["levels"][l]["b"]
@@ -143,10 +141,31 @@ def smp2d_forward(params, g, cfg: SMP2DConfig):
         Z = Y.reshape(V, P * P, nCon * C) @ Kl + bl[None, None, :]
         state = activations.leaky_relu(Z).reshape(V, P, P, C)
         state = state * g["smask"][l + 1][:, :, :, None]
+        states.append(state)
+    return states
 
-    # Head (reference SMP_omega.h:674-692)
+
+def _graph_feature(state, vmask):
+    """Shrink -> LeakyReLU -> masked vertex sum (SMP_omega.h:674-686)."""
     vertex = activations.leaky_relu(state.sum(axis=(1, 2)))     # [V, C]
-    graph_feat = (vertex * g["vmask"][:, None]).sum(axis=0)     # [C]
+    return (vertex * vmask[:, None]).sum(axis=0)                # [C]
+
+
+def smp2d_level_features(params, g, cfg: SMP2DConfig):
+    """Per-level graph features (the pairgraph towers collect these at every
+    level, SMP_omega_pairgraphs.h:640-654). Returns [(nLevels+1), C]."""
+    states = smp2d_states(params, g, cfg)
+    return jnp.stack([_graph_feature(s, g["vmask"]) for s in states])
+
+
+def smp2d_forward(params, g, cfg: SMP2DConfig):
+    """Pure forward for one prepared graph. Returns (prediction, graph_feat).
+
+    ``g`` is one element of a stacked GraphBatch (dict of arrays without the
+    batch axis).
+    """
+    states = smp2d_states(params, g, cfg)
+    graph_feat = _graph_feature(states[-1], g["vmask"])
     if cfg.nClasses:
         scores = params["W"] @ graph_feat                       # [nClasses]
         return scores, graph_feat
