@@ -22,3 +22,4 @@ from graphflow_tpu.models.gru_gcn import (
 from graphflow_tpu.models.gca import GCA_1D, CGCN, CGCN_1D, CGCN_2D
 from graphflow_tpu.models.lcnn import LCNN
 from graphflow_tpu.models.rnn import LSTM, GRU
+from graphflow_tpu.models.mlp import MLP, CNN

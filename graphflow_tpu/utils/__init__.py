@@ -1,1 +1,2 @@
 from graphflow_tpu.utils import checkpoint
+from graphflow_tpu.utils import datasets
