@@ -1,24 +1,31 @@
 """Pallas TPU kernel: single-pass fused RisiContraction_18 + channel matmul.
 
-Motivation (measured): the XLA einsum formulation reads the stacked tensor
-T[B, P, P, P, C] from HBM once per distinct reduction pattern (~6 full
-passes) and materializes the [P, P, 18C] bank before the channel matmul.
-This kernel streams each vertex's T block into VMEM ONCE, computes every
-reduction, diagonal and case map on-chip (VPU), feeds the grouped matmuls to
-the MXU, and writes only the final [P, P, Cout] — HBM traffic drops to
-read-T-once + write-Z-once.
+Motivation (measured on-chip): the XLA einsum formulation reads the stacked
+tensor T[B, P, P, P, C] from HBM once per distinct reduction pattern and
+materializes the [P, P, 18C] bank before the channel matmul.  This kernel
+streams each vertex's T block through VMEM once per layout, computes every
+reduction/diagonal/case-map on chip, and writes only the final
+[P, P, Cout] block.
 
-Math identical to ``graphflow_tpu.ops.fused.risi18_matmul_fused`` (the
-low-rank case grouping); parity-tested against the einsum spec.
+Mosaic (TPU Pallas) supports a restricted op set — no gathers, no
+minor-dim-splitting reshapes, 2-D matmuls only (verified empirically).  The
+kernel therefore works entirely in TWO fixed 2-D layouts of T prepared by
+the host:
 
-Layout notes:
-  * T arrives reshaped [B, P*P, P*C] so the kernel block is 2-D-tileable
-    (last dim P*C multiple of 128 for C >= 8 when P = 16).
-  * Diagonal extractions are computed as masked sums with broadcasted_iota
-    (Mosaic has no gather); each mask is built once per kernel instance.
-  * The backward pass reuses jax.linear_transpose via custom_vjp on the
-    mathematically-equal einsum implementation, so autodiff stays exact
-    while the forward runs the Pallas kernel.
+    X_ab [(a b), (c f)]   and   X_bc [(b c), (a f)]
+
+with every reduction expressed as (mask (*) X) @ S for iota-built constant
+masks/selectors, and the adjacency-contracted case maps as matmuls with
+Kronecker-structured matrices tiled from A' by concat-doubling:
+
+    E9  [(x d), (x' e)] = delta(x,x') A'[d,e]      (cases 9/13/16/17)
+    E12 [(b d), (e b')] = A'[d,e] delta(b,b')      (case 12)
+
+All 18 cases then land in ONE row layout [(x y), f'] and the whole layer is
+a handful of MXU matmuls.  Math identical to
+``graphflow_tpu.ops.fused.risi18_matmul_fused`` (parity-tested).
+
+Autodiff: custom_vjp with the einsum implementation as the exact backward.
 """
 
 from __future__ import annotations
@@ -33,99 +40,137 @@ from jax.experimental.pallas import tpu as pltpu
 from graphflow_tpu.ops.fused import risi18_matmul_fused
 
 
-def _kernel(T_ref, A_ref, K_ref, out_ref, *, P, C, Cout):
-    # T block: [P*P, P*C] viewed as (a*P + b, c*C + f)
-    Tf = T_ref[...].reshape(P, P, P, C)
-    A = A_ref[...]
-    K = K_ref[...]                         # [18*C, Cout]
+def _tile_concat(x, times_rows: int, times_cols: int):
+    """jnp.tile via concat-doubling (Mosaic-safe)."""
+    def dbl(v, n, axis):
+        out = v
+        built = 1
+        while built * 2 <= n:
+            out = jnp.concatenate([out, out], axis=axis)
+            built *= 2
+        while built < n:
+            out = jnp.concatenate([out, v], axis=axis)
+            built += 1
+        return out
 
+    return dbl(dbl(x, times_rows, 0), times_cols, 1)
+
+
+def _kernel(Xab_ref, Xbc_ref, A_ref, K_ref, out_ref, *, P, C, Cout):
+    N2, PC = P * P, P * C
+    f32 = jnp.float32
+    Xab = Xab_ref[0]                      # [(a b), (c f)]
+    Xbc = Xbc_ref[0]                      # [(b c), (a f)]
+    A = A_ref[0]                          # [P, P]
+    K = K_ref[...]                        # [18C, Cout]
+
+    def mm(x, y):
+        return jnp.dot(x, y, preferred_element_type=f32)
+
+    # ---- iota-built constants -------------------------------------------
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (N2, PC), 0)
+    q2 = jax.lax.broadcasted_iota(jnp.int32, (N2, PC), 1)
+    mask_cb = (q2 // C == r2 % P).astype(f32)       # col c == row minor
+    mask_ca = (q2 // C == r2 // P).astype(f32)      # col c == row major
+    dmask_row = (r2 // P == r2 % P).astype(f32)[:, :1]   # [(x y), 1] x==y
+
+    rqS = jax.lax.broadcasted_iota(jnp.int32, (PC, C), 0)
+    cqS = jax.lax.broadcasted_iota(jnp.int32, (PC, C), 1)
+    S = (rqS % C == cqS).astype(f32)                # [(c f), f'] = d(f,f')
+
+    rSa = jax.lax.broadcasted_iota(jnp.int32, (P, N2), 0)
+    cSa = jax.lax.broadcasted_iota(jnp.int32, (P, N2), 1)
+    Sa = (cSa // P == rSa).astype(f32)              # collapse keep major
+    Sb = (cSa % P == rSa).astype(f32)               # collapse keep minor
+
+    rSr = jax.lax.broadcasted_iota(jnp.int32, (P, PC), 0)
+    cSr = jax.lax.broadcasted_iota(jnp.int32, (P, PC), 1)
+    Srep = (cSr // C == rSr).astype(f32)            # [c, (c f)] expander
+
+    rNP = jax.lax.broadcasted_iota(jnp.int32, (N2, P), 0)
+    cNP = jax.lax.broadcasted_iota(jnp.int32, (N2, P), 1)
+    sel_rdiv = (rNP // P == cNP).astype(f32)        # [N2, P] d(r//P, j)
+    sel_rmod = (rNP % P == cNP).astype(f32)         # [N2, P] d(r%P, j)
+
+    rNN = jax.lax.broadcasted_iota(jnp.int32, (N2, N2), 0)
+    cNN = jax.lax.broadcasted_iota(jnp.int32, (N2, N2), 1)
+    blockdiag = (rNN // P == cNN // P).astype(f32)  # d(r//P, q//P)
+    crossdiag = (rNN // P == cNN % P).astype(f32)   # d(r//P, q%P)
+
+    ones_row = jnp.ones((1, N2), f32)
+    ones_colP = jnp.ones((P, 1), f32)
+    eyeP = (jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)).astype(f32)
+
+    # ---- adjacency quantities -------------------------------------------
     Ap = jnp.where(A > 0, A, jnp.zeros_like(A))
-    S = jnp.sum(Ap)
-    R = jnp.sum(Ap, axis=1)                # [P]
-    ii = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
-    eye = (ii == jj).astype(Tf.dtype)      # [P, P]
-    trA = jnp.sum(Ap * eye)
+    S_adj = jnp.sum(Ap)
+    trA = jnp.sum(Ap * eyeP)
+    R_col = mm(Ap, ones_colP)                       # [P, 1]
+    R_row = R_col.T                                 # [1, P]
+    Rcol_weights = mm(R_row, Srep)                  # [1, PC]: R[q//C]
 
-    T_ab = jnp.sum(Tf, axis=2)             # [a,b,f]
-    T_bc = jnp.sum(Tf, axis=0)             # [b,c,f]
-    T_a = jnp.sum(T_ab, axis=1)            # [a,f]
-    T_b = jnp.sum(T_bc, axis=1)            # [b,f]
-    T_full = jnp.sum(T_a, axis=0)          # [f]
+    # ---- T reductions (all rows in (x y) output order) ------------------
+    T_ab = mm(Xab, S)                               # [(a b), f]
+    T_bc = mm(Xbc, S)                               # [(b c), f]
+    D_bc = mm(Xab * mask_cb, S)                     # T[a,b,b,f]  (= W16)
+    V_ac = mm(Xab * mask_ca, S)                     # T[a,b,a,f]
+    W17 = mm(Xbc * mask_cb, S)                      # T[c,b,c,f] rows (b c=e)
+    T_a = mm(Sa, T_ab)                              # [P, C]
+    T_b = mm(Sb, T_ab)
+    Tdiag_bc_a = mm(Sa, D_bc)
+    D_ac_b = mm(Sb, V_ac)
+    T_full = mm(ones_row, T_ab)                     # [1, C]
+    s14 = mm(ones_row, Xab * dmask_row)             # [1, PC] rows a==b summed
+    s14 = mm(s14, S)                                # [1, C]
+    s15 = mm(ones_row, D_bc)
+    t18 = mm(ones_row, D_bc * dmask_row)
 
-    # Diagonal reductions as masked sums (no gather on TPU):
-    eye_bc = eye[None, :, :, None]
-    D_bc = jnp.sum(Tf * eye_bc, axis=2)            # T[a,b,b,f] -> [a,b,f]
-    eye_ab = eye[:, :, None, None]
-    D_aab = jnp.sum(Tf * eye_ab, axis=0)           # [c', c, f]: T[c',c',c,f]
-    eye_ac = eye[:, None, :, None]
-    D_ac_b = jnp.sum(Tf * eye_ac, axis=(0, 2))     # sum_a T[a,b,a,f] -> [b,f]
-    Tdiag_bc_a = jnp.sum(D_bc, axis=1)             # [a,f]
-    s14 = jnp.sum(D_aab, axis=(0, 1))              # [f] = sum_{a,c} T[a,a,c,f]
-    s15 = jnp.sum(D_bc, axis=(0, 1))               # [f]
-    W16 = jnp.sum(Tf * eye_bc, axis=1)             # T[a,e,e,f] -> [a,e,f]
-    W17 = jnp.sum(Tf * eye_ac, axis=0)             # T[e,b,e,f] -> [b,e,f]
-    # t18[f] = sum_a T[a,a,a,f]: mask W16[a,e] at a==e then sum
-    t18 = jnp.sum(W16 * eye[:, :, None], axis=(0, 1))
+    Kc = K                                          # [18C, Cout] blocks of C
 
-    Kc = K.reshape(18, C, Cout)
+    def Kblk(i):
+        return Kc[i * C:(i + 1) * C, :]
 
-    def mm(x2d, k):
-        return jnp.dot(x2d, k, preferred_element_type=jnp.float32)
+    # ---- Group A: cases 1, 3, 7 -----------------------------------------
+    Z = mm(T_ab, S_adj * Kblk(0) + trA * Kblk(6))
+    Z = Z + mm(T_bc, S_adj * Kblk(2))
 
-    # Group A: spatial-broadcast cases 1, 3, 7
-    K_ab = S * Kc[0] + trA * Kc[6]
-    Z = mm(T_ab.reshape(P * P, C), K_ab)
-    Z = Z + mm(T_bc.reshape(P * P, C), S * Kc[2])
-    Z = Z.reshape(P, P, Cout)
-
-    # Group B: row-broadcast cases 2, 4, 8, 11
+    # ---- Group B: cases 2, 4, 8, 11 -------------------------------------
     U = jnp.concatenate([T_a, T_b, Tdiag_bc_a, D_ac_b], axis=1)   # [P, 4C]
-    K_B = jnp.concatenate([Kc[1], Kc[3], Kc[7], Kc[10]], axis=0)
+    K_B = jnp.concatenate([Kblk(1), Kblk(3), Kblk(7), Kblk(10)], axis=0)
     UK = mm(U, K_B)                                               # [P, Cout]
-    Z = Z + UK[:, None, :] * R[None, :, None]
+    rowR = mm(sel_rmod, R_col)                      # [N2, 1] = R[r%P]
+    E_B = sel_rdiv * rowR                           # [N2, P]
+    Z = Z + mm(E_B, UK)
 
-    # Group C: adj-broadcast cases 5, 14, 15, 18
-    t_cat = jnp.concatenate([T_full, s14, s15, t18])[None, :]     # [1, 4C]
-    K_C = jnp.concatenate([Kc[4], Kc[13], Kc[14], Kc[17]], axis=0)
-    tK = mm(t_cat, K_C)[0]                                        # [Cout]
-    Z = Z + Ap[:, :, None] * tK[None, None, :]
+    # ---- Group C: cases 5, 14, 15, 18 -----------------------------------
+    t_cat = jnp.concatenate([T_full, s14, s15, t18], axis=1)      # [1, 4C]
+    K_C = jnp.concatenate([Kblk(4), Kblk(13), Kblk(14), Kblk(17)], axis=0)
+    tK = mm(t_cat, K_C)                                           # [1, Cout]
+    G = mm(sel_rdiv, Ap)                            # [N2, P]: Ap[r//P, e]
+    Ap_flat = mm(G * sel_rmod, ones_colP)           # [N2, 1]: Ap[r//P, r%P]
+    Z = Z + mm(Ap_flat, tK)
 
-    # Group D: full-map cases 6, 9, 10, 12, 13, 16, 17.
-    # Mosaic-friendly forms only: broadcast-multiply reductions for the
-    # R-weighted cases, and 2-D matmuls + minor-dim transposes for the
-    # A-contracted cases.
-    M6 = jnp.sum(Tf * R[None, None, :, None], axis=2)     # [a,b,f]
-    M10 = jnp.sum(Tf * R[:, None, None, None], axis=0)    # [b,c,f]
-
-    ApT = Ap.T
-
-    def contract_e_suffix(X):
-        # X: [x, e, f] -> Y[x, d, f] = sum_e Ap[d, e] X[x, e, f]
-        Xt = jnp.transpose(X, (0, 2, 1)).reshape(P * C, P)   # [(x f), e]
-        Y = jnp.dot(Xt, ApT, preferred_element_type=jnp.float32)
-        return jnp.transpose(Y.reshape(P, C, P), (0, 2, 1))  # [x, d, f]
-
-    def contract_e_prefix(X):
-        # X: [e, y, f] -> Y[y, d, f] = sum_e Ap[d, e] X[e, y, f]
-        Y = jnp.dot(Ap, X.reshape(P, P * C),
-                    preferred_element_type=jnp.float32)      # [d, (y f)]
-        return jnp.transpose(Y.T.reshape(P, C, P), (0, 2, 1))
-
-    M9 = contract_e_suffix(T_ab)                          # [a,d,f]
-    M12 = contract_e_prefix(T_ab)                         # [b,d,f]
-    M13 = contract_e_suffix(T_bc)                         # [b,d,f]
-    M16 = contract_e_suffix(W16)                          # [a,d,f]
-    M17 = contract_e_suffix(W17)                          # [b,d,f]
-
-    M = jnp.concatenate(
-        [m.reshape(P * P, C) for m in (M6, M9, M10, M12, M13, M16, M17)],
-        axis=1)                                                   # [P^2, 7C]
+    # ---- Group D: cases 6, 9, 10, 12, 13, 16, 17 ------------------------
+    M6 = mm(Xab * Rcol_weights, S)                  # [(a b), f]
+    M10 = mm(Xbc * Rcol_weights, S)                 # [(b c), f]
+    Ap_tiled = _tile_concat(Ap, P, P)               # [N2, N2]: Ap[r%P, q%P]
+    E9 = Ap_tiled * blockdiag
+    Ap_repq = mm(Ap, (jax.lax.broadcasted_iota(jnp.int32, (P, N2), 0)
+                      == jax.lax.broadcasted_iota(jnp.int32, (P, N2), 1)
+                      // P).astype(f32))            # [P, N2]: Ap[., q//P]
+    E12 = _tile_concat(Ap_repq, P, 1) * crossdiag   # Ap[r%P, q//P] d(r//P,q%P)
+    M9 = mm(E9, T_ab)
+    M12 = mm(E12, T_ab)
+    M13 = mm(E9, T_bc)
+    M16 = mm(E9, D_bc)
+    M17 = mm(E9, W17)
+    M = jnp.concatenate([M6, M9, M10, M12, M13, M16, M17], axis=1)
     K_D = jnp.concatenate(
-        [Kc[i] for i in (5, 8, 9, 11, 12, 15, 16)], axis=0)
-    Z = Z + mm(M, K_D).reshape(P, P, Cout)
+        [Kblk(i) for i in (5, 8, 9, 11, 12, 15, 16)], axis=0)     # [7C, Cout]
+    Z = Z + mm(M, K_D)
 
-    out_ref[...] = Z.reshape(P * P, Cout).astype(out_ref.dtype)
+    out_ref[0] = Z.astype(out_ref.dtype)
 
 
 def risi18_matmul_pallas(T, A, K):
@@ -135,11 +180,14 @@ def risi18_matmul_pallas(T, A, K):
     """
     B, P = T.shape[0], T.shape[1]
     C, Cout = T.shape[4], K.shape[1]
-    T2 = T.reshape(B, P * P, P * C)
+    X_ab = T.reshape(B, P * P, P * C)
+    X_bc = T.transpose(0, 2, 3, 1, 4).reshape(B, P * P, P * C)
 
     grid_spec = pl.GridSpec(
         grid=(B,),
         in_specs=[
+            pl.BlockSpec((1, P * P, P * C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P * P, P * C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, P), lambda i: (i, 0, 0),
@@ -151,25 +199,20 @@ def risi18_matmul_pallas(T, A, K):
                                memory_space=pltpu.VMEM),
     )
 
-    kernel = functools.partial(_squeeze_kernel, P=P, C=C, Cout=Cout)
+    kernel = functools.partial(_kernel, P=P, C=C, Cout=Cout)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, P * P, Cout), T.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * (10 * P**3 * C + P * P * 11 * C * Cout),
-            bytes_accessed=T.nbytes + A.nbytes + K.nbytes
+            flops=2 * B * P * P * (6 * P * C + 11 * C * Cout
+                                   + 2 * P * P * C),
+            bytes_accessed=2 * T.nbytes + A.nbytes + K.nbytes
             + B * P * P * Cout * 4,
             transcendentals=0,
         ),
-    )(T2, A, K)
+    )(X_ab, X_bc, A, K)
     return out.reshape(B, P, P, Cout)
-
-
-def _squeeze_kernel(T_ref, A_ref, K_ref, out_ref, *, P, C, Cout):
-    # Block shapes carry a leading length-1 batch dim; strip it.
-    _kernel(T_ref.at[0], A_ref.at[0], K_ref, out_ref.at[0],
-            P=P, C=C, Cout=Cout)
 
 
 # ----------------------------------------------------------------------
@@ -188,8 +231,6 @@ def _fwd(T, A, K):
 
 def _bwd(res, g):
     T, A, K = res
-    # The einsum implementation is mathematically identical; its VJP is the
-    # exact gradient of the Pallas forward.
     _, vjp = jax.vjp(
         lambda t, a, k: jax.vmap(
             lambda ti, ai: risi18_matmul_fused(ti, ai, k))(t, a), T, A, K)
