@@ -3,26 +3,27 @@
 Motivation (measured on-chip): the XLA einsum formulation reads the stacked
 tensor T[B, P, P, P, C] from HBM once per distinct reduction pattern and
 materializes the [P, P, 18C] bank before the channel matmul.  This kernel
-streams each vertex's T block through VMEM once per layout, computes every
+streams each vertex's T block through VMEM, computes every
 reduction/diagonal/case-map on chip, and writes only the final
 [P, P, Cout] block.
 
 Mosaic (TPU Pallas) supports a restricted op set — no gathers, no
-minor-dim-splitting reshapes, 2-D matmuls only (verified empirically).  The
-kernel therefore works entirely in TWO fixed 2-D layouts of T prepared by
-the host:
+minor-dim-splitting reshapes, 2-D matmuls only (probed empirically).  The
+kernel therefore works in TWO fixed 2-D layouts of T prepared by the host:
 
     X_ab [(a b), (c f)]   and   X_bc [(b c), (a f)]
 
-with every reduction expressed as (mask (*) X) @ S for iota-built constant
-masks/selectors, and the adjacency-contracted case maps as matmuls with
-Kronecker-structured matrices tiled from A' by concat-doubling:
+with every reduction expressed as (mask (*) X) @ S for CONSTANT
+selector/mask matrices (built host-side once and passed as resident VMEM
+operands, keeping Mosaic compile time sane), and the adjacency-contracted
+case maps as matmuls with Kronecker-structured matrices tiled from A' by
+concat-doubling in-kernel:
 
     E9  [(x d), (x' e)] = delta(x,x') A'[d,e]      (cases 9/13/16/17)
     E12 [(b d), (e b')] = A'[d,e] delta(b,b')      (case 12)
 
-All 18 cases then land in ONE row layout [(x y), f'] and the whole layer is
-a handful of MXU matmuls.  Math identical to
+All 18 cases land in ONE row layout [(x y), f'] and the whole layer is a
+chain of MXU matmuls.  Math identical to
 ``graphflow_tpu.ops.fused.risi18_matmul_fused`` (parity-tested).
 
 Autodiff: custom_vjp with the einsum implementation as the exact backward.
@@ -34,10 +35,50 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from graphflow_tpu.ops.fused import risi18_matmul_fused
+
+
+def _constants(P: int, C: int, dtype=np.float32):
+    """Host-built constant selector/mask matrices for the kernel."""
+    N2, PC = P * P, P * C
+    r = np.arange(N2)
+    qpc = np.arange(PC)
+
+    consts = {
+        # [(c f), f']: sum over c keeping f
+        "S": (qpc[:, None] % C == np.arange(C)[None, :]).astype(dtype),
+        # [P, N2]: collapse rows keeping major / minor index
+        "Sa": (np.arange(P)[:, None] == r[None, :] // P).astype(dtype),
+        "Sb": (np.arange(P)[:, None] == r[None, :] % P).astype(dtype),
+        # [N2, P]: row-index selectors
+        "sel_rdiv": (r[:, None] // P == np.arange(P)[None, :]).astype(dtype),
+        "sel_rmod": (r[:, None] % P == np.arange(P)[None, :]).astype(dtype),
+        # [N2, N2] Kronecker masks
+        "blockdiag": (r[:, None] // P == np.arange(N2)[None, :] // P
+                      ).astype(dtype),
+        "crossdiag": (r[:, None] // P == np.arange(N2)[None, :] % P
+                      ).astype(dtype),
+        # [N2, PC] column-vs-row masks
+        "mask_cb": (qpc[None, :] // C == r[:, None] % P).astype(dtype),
+        "mask_ca": (qpc[None, :] // C == r[:, None] // P).astype(dtype),
+        # [N2, 1]: rows with x == y
+        "dmask_row": (r // P == r % P).astype(dtype)[:, None],
+        # [P, PC]: expand per-c weights to (c f) columns
+        "Srep": (np.arange(P)[:, None] == qpc[None, :] // C).astype(dtype),
+        # [P, N2]: expand per-e to q//P columns (for E12 construction)
+        "Sexp": (np.arange(P)[:, None] == np.arange(N2)[None, :] // P
+                 ).astype(dtype),
+    }
+    return consts
+
+
+_CONST_NAMES = ("S", "Sa", "Sb", "sel_rdiv", "sel_rmod", "blockdiag",
+                "crossdiag", "mask_cb", "mask_ca", "dmask_row", "Srep",
+                "Sexp")
 
 
 def _tile_concat(x, times_rows: int, times_cols: int):
@@ -56,61 +97,40 @@ def _tile_concat(x, times_rows: int, times_cols: int):
     return dbl(dbl(x, times_rows, 0), times_cols, 1)
 
 
-def _kernel(Xab_ref, Xbc_ref, A_ref, K_ref, out_ref, *, P, C, Cout):
-    N2, PC = P * P, P * C
+def _kernel(Xab_ref, Xbc_ref, A_ref, K_ref,
+            S_ref, Sa_ref, Sb_ref, sel_rdiv_ref, sel_rmod_ref,
+            blockdiag_ref, crossdiag_ref, mask_cb_ref, mask_ca_ref,
+            dmask_row_ref, Srep_ref, Sexp_ref,
+            out_ref, *, P, C, Cout):
     f32 = jnp.float32
-    Xab = Xab_ref[0]                      # [(a b), (c f)]
-    Xbc = Xbc_ref[0]                      # [(b c), (a f)]
-    A = A_ref[0]                          # [P, P]
-    K = K_ref[...]                        # [18C, Cout]
+    Xab = Xab_ref[0]
+    Xbc = Xbc_ref[0]
+    A = A_ref[0]
+    K = K_ref[...]
+    S, Sa, Sb = S_ref[...], Sa_ref[...], Sb_ref[...]
+    sel_rdiv, sel_rmod = sel_rdiv_ref[...], sel_rmod_ref[...]
+    blockdiag, crossdiag = blockdiag_ref[...], crossdiag_ref[...]
+    mask_cb, mask_ca = mask_cb_ref[...], mask_ca_ref[...]
+    dmask_row, Srep, Sexp = dmask_row_ref[...], Srep_ref[...], Sexp_ref[...]
 
     def mm(x, y):
         return jnp.dot(x, y, preferred_element_type=f32)
 
-    # ---- iota-built constants -------------------------------------------
-    r2 = jax.lax.broadcasted_iota(jnp.int32, (N2, PC), 0)
-    q2 = jax.lax.broadcasted_iota(jnp.int32, (N2, PC), 1)
-    mask_cb = (q2 // C == r2 % P).astype(f32)       # col c == row minor
-    mask_ca = (q2 // C == r2 // P).astype(f32)      # col c == row major
-    dmask_row = (r2 // P == r2 % P).astype(f32)[:, :1]   # [(x y), 1] x==y
-
-    rqS = jax.lax.broadcasted_iota(jnp.int32, (PC, C), 0)
-    cqS = jax.lax.broadcasted_iota(jnp.int32, (PC, C), 1)
-    S = (rqS % C == cqS).astype(f32)                # [(c f), f'] = d(f,f')
-
-    rSa = jax.lax.broadcasted_iota(jnp.int32, (P, N2), 0)
-    cSa = jax.lax.broadcasted_iota(jnp.int32, (P, N2), 1)
-    Sa = (cSa // P == rSa).astype(f32)              # collapse keep major
-    Sb = (cSa % P == rSa).astype(f32)               # collapse keep minor
-
-    rSr = jax.lax.broadcasted_iota(jnp.int32, (P, PC), 0)
-    cSr = jax.lax.broadcasted_iota(jnp.int32, (P, PC), 1)
-    Srep = (cSr // C == rSr).astype(f32)            # [c, (c f)] expander
-
-    rNP = jax.lax.broadcasted_iota(jnp.int32, (N2, P), 0)
-    cNP = jax.lax.broadcasted_iota(jnp.int32, (N2, P), 1)
-    sel_rdiv = (rNP // P == cNP).astype(f32)        # [N2, P] d(r//P, j)
-    sel_rmod = (rNP % P == cNP).astype(f32)         # [N2, P] d(r%P, j)
-
-    rNN = jax.lax.broadcasted_iota(jnp.int32, (N2, N2), 0)
-    cNN = jax.lax.broadcasted_iota(jnp.int32, (N2, N2), 1)
-    blockdiag = (rNN // P == cNN // P).astype(f32)  # d(r//P, q//P)
-    crossdiag = (rNN // P == cNN % P).astype(f32)   # d(r//P, q%P)
-
+    N2 = P * P
     ones_row = jnp.ones((1, N2), f32)
     ones_colP = jnp.ones((P, 1), f32)
-    eyeP = (jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)).astype(f32)
 
     # ---- adjacency quantities -------------------------------------------
     Ap = jnp.where(A > 0, A, jnp.zeros_like(A))
     S_adj = jnp.sum(Ap)
+    eyeP = (jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)).astype(f32)
     trA = jnp.sum(Ap * eyeP)
     R_col = mm(Ap, ones_colP)                       # [P, 1]
     R_row = R_col.T                                 # [1, P]
     Rcol_weights = mm(R_row, Srep)                  # [1, PC]: R[q//C]
 
-    # ---- T reductions (all rows in (x y) output order) ------------------
+    # ---- T reductions (rows already in (x y) output order) --------------
     T_ab = mm(Xab, S)                               # [(a b), f]
     T_bc = mm(Xbc, S)                               # [(b c), f]
     D_bc = mm(Xab * mask_cb, S)                     # T[a,b,b,f]  (= W16)
@@ -121,15 +141,12 @@ def _kernel(Xab_ref, Xbc_ref, A_ref, K_ref, out_ref, *, P, C, Cout):
     Tdiag_bc_a = mm(Sa, D_bc)
     D_ac_b = mm(Sb, V_ac)
     T_full = mm(ones_row, T_ab)                     # [1, C]
-    s14 = mm(ones_row, Xab * dmask_row)             # [1, PC] rows a==b summed
-    s14 = mm(s14, S)                                # [1, C]
+    s14 = mm(mm(ones_row, Xab * dmask_row), S)      # [1, C]
     s15 = mm(ones_row, D_bc)
     t18 = mm(ones_row, D_bc * dmask_row)
 
-    Kc = K                                          # [18C, Cout] blocks of C
-
     def Kblk(i):
-        return Kc[i * C:(i + 1) * C, :]
+        return K[i * C:(i + 1) * C, :]
 
     # ---- Group A: cases 1, 3, 7 -----------------------------------------
     Z = mm(T_ab, S_adj * Kblk(0) + trA * Kblk(6))
@@ -140,8 +157,7 @@ def _kernel(Xab_ref, Xbc_ref, A_ref, K_ref, out_ref, *, P, C, Cout):
     K_B = jnp.concatenate([Kblk(1), Kblk(3), Kblk(7), Kblk(10)], axis=0)
     UK = mm(U, K_B)                                               # [P, Cout]
     rowR = mm(sel_rmod, R_col)                      # [N2, 1] = R[r%P]
-    E_B = sel_rdiv * rowR                           # [N2, P]
-    Z = Z + mm(E_B, UK)
+    Z = Z + mm(sel_rdiv * rowR, UK)
 
     # ---- Group C: cases 5, 14, 15, 18 -----------------------------------
     t_cat = jnp.concatenate([T_full, s14, s15, t18], axis=1)      # [1, 4C]
@@ -154,12 +170,8 @@ def _kernel(Xab_ref, Xbc_ref, A_ref, K_ref, out_ref, *, P, C, Cout):
     # ---- Group D: cases 6, 9, 10, 12, 13, 16, 17 ------------------------
     M6 = mm(Xab * Rcol_weights, S)                  # [(a b), f]
     M10 = mm(Xbc * Rcol_weights, S)                 # [(b c), f]
-    Ap_tiled = _tile_concat(Ap, P, P)               # [N2, N2]: Ap[r%P, q%P]
-    E9 = Ap_tiled * blockdiag
-    Ap_repq = mm(Ap, (jax.lax.broadcasted_iota(jnp.int32, (P, N2), 0)
-                      == jax.lax.broadcasted_iota(jnp.int32, (P, N2), 1)
-                      // P).astype(f32))            # [P, N2]: Ap[., q//P]
-    E12 = _tile_concat(Ap_repq, P, 1) * crossdiag   # Ap[r%P, q//P] d(r//P,q%P)
+    E9 = _tile_concat(Ap, P, P) * blockdiag         # kron(I, Ap)
+    E12 = _tile_concat(mm(Ap, Sexp), P, 1) * crossdiag
     M9 = mm(E9, T_ab)
     M12 = mm(E12, T_ab)
     M13 = mm(E9, T_bc)
@@ -180,22 +192,28 @@ def risi18_matmul_pallas(T, A, K):
     """
     B, P = T.shape[0], T.shape[1]
     C, Cout = T.shape[4], K.shape[1]
-    X_ab = T.reshape(B, P * P, P * C)
-    X_bc = T.transpose(0, 2, 3, 1, 4).reshape(B, P * P, P * C)
+    N2, PC = P * P, P * C
+    X_ab = T.reshape(B, N2, PC)
+    X_bc = T.transpose(0, 2, 3, 1, 4).reshape(B, N2, PC)
+    consts = _constants(P, C)
+    const_args = [jnp.asarray(consts[n]) for n in _CONST_NAMES]
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
 
     grid_spec = pl.GridSpec(
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, P * P, P * C), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, N2, PC), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P * P, P * C), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, N2, PC), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, P), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((18 * C, Cout), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, P * P, Cout), lambda i: (i, 0, 0),
+            fixed((18 * C, Cout)),
+        ] + [fixed(consts[n].shape) for n in _CONST_NAMES],
+        out_specs=pl.BlockSpec((1, N2, Cout), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
@@ -203,15 +221,14 @@ def risi18_matmul_pallas(T, A, K):
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, P * P, Cout), T.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, N2, Cout), T.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * P * P * (6 * P * C + 11 * C * Cout
-                                   + 2 * P * P * C),
+            flops=2 * B * N2 * (6 * PC + 11 * C * Cout + 2 * N2 * C),
             bytes_accessed=2 * T.nbytes + A.nbytes + K.nbytes
-            + B * P * P * Cout * 4,
+            + B * N2 * Cout * 4,
             transcendentals=0,
         ),
-    )(X_ab, X_bc, A, K)
+    )(X_ab, X_bc, A, K, *const_args)
     return out.reshape(B, P, P, Cout)
 
 

@@ -54,16 +54,22 @@ def test_native_coulomb_and_raw_features():
         prep.prepare_graph(g, **kwargs))
 
 
-def test_native_is_faster_on_large_graph():
+def test_native_is_not_slower():
     import time
     g = random_graph(60, 0.15, seed=3)
     kwargs = dict(nLevels=3, max_nVertices=60, max_receptive_field=8,
                   nDepth=3)
-    t0 = time.perf_counter()
-    native.prepare_graph_native(g, **kwargs)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    prep.prepare_graph(g, **kwargs)
-    t_python = time.perf_counter() - t0
-    # Not a strict benchmark, but native should not be slower.
+
+    def best_of(f, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_native = best_of(lambda: native.prepare_graph_native(g, **kwargs))
+    t_python = best_of(lambda: prep.prepare_graph(g, **kwargs))
+    # Best-of-3 to be robust to machine load; native is ~3x faster in
+    # practice, assert it is at least not dramatically slower.
     assert t_native < t_python * 1.5, (t_native, t_python)
