@@ -23,3 +23,15 @@ from graphflow_tpu.models.gca import GCA_1D, CGCN, CGCN_1D, CGCN_2D
 from graphflow_tpu.models.lcnn import LCNN
 from graphflow_tpu.models.rnn import LSTM, GRU
 from graphflow_tpu.models.mlp import MLP, CNN
+from graphflow_tpu.models.smp2d_steerable import (
+    SMP2DSteerable, SMP2DSteerableConfig, SMP_2D, SMP_2D_classification,
+    SMP_2D_ver2, SMP_2D_ver3, SMP_2D_ver4, SMP_2D_ver5, Unrestricted_SMP_2D,
+)
+from graphflow_tpu.models.smp2d import (
+    SMP_beta_physics, SMP_gamma_physics, SMP_2D_ver6_classification,
+    SMP_2D_ver7_classification, SMP_2D_ver8_thread,
+)
+from graphflow_tpu.models.smp1d import (
+    SMP_theta_physics, SMP_1D_ver2, SMP_1D_ver3, SMP_1D_ver3_classification,
+    Unrestricted_SMP_1D_ver2,
+)

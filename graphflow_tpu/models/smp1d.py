@@ -274,3 +274,46 @@ def CCN_1D(max_nVertices, max_receptive_field, nLevels, nChanels, nFeatures,
     in the pairgraph module)."""
     return SMP_theta(max_nVertices, max_receptive_field, nLevels, nChanels,
                      nFeatures, nDepth, seed)
+
+
+def SMP_theta_physics(max_nVertices, max_receptive_field, nLevels, nChanels,
+                      nFeatures, seed=0) -> SMP1D:
+    """``SMP_theta_physics.h``: raw features only (no WL histograms)."""
+    return SMP1D(SMP1DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=max_receptive_field,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures, nDepth=0,
+        use_wl_features=False, filter="theta", optimizer="adam"), seed)
+
+
+def SMP_1D_ver2(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+                seed=0) -> SMP1D:
+    """``SMP_1D_ver2.h``: the concat-2C filter arrangement (theta-style
+    filters without the receptive-field cap)."""
+    return SMP1D(SMP1DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=None,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
+        nDepth=nDepth, filter="theta", optimizer="momentum"), seed)
+
+
+def SMP_1D_ver3(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+                seed=0) -> SMP1D:
+    """``SMP_1D_ver3.h``: channel-variant of ver2 (same TPU architecture)."""
+    return SMP_1D_ver2(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+                       seed)
+
+
+def SMP_1D_ver3_classification(max_nVertices, nLevels, nChanels, nFeatures,
+                               nDepth, nClasses, seed=0) -> SMP1D:
+    """``SMP_1D_ver3_classification.h``."""
+    return SMP1D(SMP1DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=None,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
+        nDepth=nDepth, filter="theta", nClasses=nClasses,
+        optimizer="momentum"), seed)
+
+
+def Unrestricted_SMP_1D_ver2(max_nVertices, nLevels, nChanels, nFeatures,
+                             nDepth, seed=0) -> SMP1D:
+    """``Unrestricted_SMP_1D_ver2.h``: full W[size] filters (variant)."""
+    return Unrestricted_SMP_1D(max_nVertices, nLevels, nChanels, nFeatures,
+                               nDepth, seed)

@@ -277,3 +277,51 @@ def SMP_2D_ver8(max_nVertices, max_receptive_field, nLevels, nChanels,
         max_nVertices=max_nVertices, max_receptive_field=max_receptive_field,
         nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
         nDepth=nDepth, contraction=18, optimizer="momentum"), seed)
+
+
+def SMP_beta_physics(max_nVertices, nLevels, nChanels, nFeatures, seed=0):
+    """``SMP_beta_physics.h``: raw features + Coulomb adjacency, no cap."""
+    return SMP2D(SMP2DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=None,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures, nDepth=0,
+        use_wl_features=False, use_coulomb=True, contraction=18,
+        optimizer="adam"), seed)
+
+
+def SMP_gamma_physics(max_nVertices, max_receptive_field, nLevels, nChanels,
+                      nFeatures, seed=0):
+    """``SMP_gamma_physics.h``: RisiContraction_4, raw features + Coulomb."""
+    return SMP2D(SMP2DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=max_receptive_field,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures, nDepth=0,
+        use_wl_features=False, use_coulomb=True, contraction=4,
+        optimizer="adam"), seed)
+
+
+def SMP_2D_ver6_classification(max_nVertices, max_receptive_field, nLevels,
+                               nChanels, nFeatures, nDepth, nClasses, seed=0):
+    """``SMP_2D_ver6_classification.h``."""
+    return SMP2D(SMP2DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=max_receptive_field,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
+        nDepth=nDepth, contraction=10, nClasses=nClasses,
+        optimizer="momentum"), seed)
+
+
+def SMP_2D_ver7_classification(max_nVertices, max_receptive_field, nLevels,
+                               nChanels, nFeatures, nDepth, nClasses, seed=0):
+    """``SMP_2D_ver7_classification.h``."""
+    return SMP2D(SMP2DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=max_receptive_field,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
+        nDepth=nDepth, contraction=50, nClasses=nClasses,
+        optimizer="momentum"), seed)
+
+
+def SMP_2D_ver8_thread(max_nVertices, max_receptive_field, nLevels, nChanels,
+                       nFeatures, nDepth, nThreads=None, seed=0):
+    """``SMP_2D_ver8_thread.h``: the threaded-contraction variant.  On TPU
+    the 6-way std::thread job split (RisiContraction_18_thread.h:745-781) is
+    subsumed by XLA's parallel execution; identical math to ver8."""
+    return SMP_2D_ver8(max_nVertices, max_receptive_field, nLevels, nChanels,
+                       nFeatures, nDepth, seed)

@@ -1,0 +1,273 @@
+"""Steerable-filter second-order SMP family (SMP_2D base + variants).
+
+Covers the reference models that predate the contraction banks:
+
+  SMP_2D (``SMP_2D.h:523-580``): vertex tensor update
+      q_v   = SUM_{w: sp(v,w)<=1} X f_w X^T  +  scalar (.) adj_v
+      out_v = LeakyReLU(W[s] (*) q_v + b[s]),
+      W[s] = lambda1[s] (.) I_s + lambda2[s] (.) 1_s  (C-vector lambdas per
+      receptive-field SIZE; (*) is per-depth spatial matmul TensorMul,
+      (.) channel-broadcast VectorBroadcastMat).  Momentum.
+  SMP_2D_classification: + LogLoss head.
+  SMP_2D_ver2/ver3 (``SMP_2D_ver2.h:131-177``): MATRIX-valued lambdas
+      (prevC x prevC) with channel growth C_l = 2 C_{l-1}
+      (Tensor4DConcat of the two filter paths, Tensor4DTensor3DMul apply).
+  SMP_2D_ver4(_cls)/ver5 (``SMP_2D_ver5.h:127-171``): vector lambdas, the
+      two filter paths concatenated along channels then reduced by
+      K (C x 2C) (CustomMatMulTensor).
+  Unrestricted_SMP_2D (``Unrestricted_SMP_2D.h:99-124``): a full learned
+      W[s] in R^{s x s x C} applied by TensorMul.
+
+The steerable structure lets every filter apply collapse to closed forms —
+W[s] (*) q = lambda1 (.) q + lambda2 (.) (rowsum broadcast) — so no dense
+filter tensors are materialized on device.
+
+TPU-native neighbor aggregation is the second-order analog of smp1d's
+vertex-id-space matmul: states are scattered to G[w, u1, u2, c], the 1-hop
+sum becomes one einsum over w, and results are gathered into each phi's
+local ordering with the sentinel convention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphflow_tpu.core import prep
+from graphflow_tpu.core.graph import DenseGraph
+from graphflow_tpu.models.base import GraphModel
+from graphflow_tpu.ops import activations, losses
+
+
+@dataclasses.dataclass
+class SMP2DSteerableConfig:
+    max_nVertices: int
+    nLevels: int
+    nChanels: int
+    nFeatures: int
+    nDepth: int
+    filter: str = "steerable"   # steerable | matrix | concat_k | unrestricted
+    has_WL_ordering: bool = True
+    nClasses: Optional[int] = None
+    optimizer: str = "momentum"
+    momentum_param: float = 0.9
+    dtype: str = "float32"
+
+    @property
+    def feat_dim(self):
+        return self.nFeatures * (self.nDepth + 1)
+
+    def channels_at(self, l: int) -> int:
+        """ver2/ver3 double channels per level (SMP_2D_ver2.h:131)."""
+        if self.filter == "matrix":
+            return self.nChanels * (2 ** l)
+        return self.nChanels
+
+    @property
+    def P(self):
+        return self.max_nVertices  # these models are uncapped
+
+
+def init_params(key, cfg: SMP2DSteerableConfig):
+    from graphflow_tpu.optim.utils import uniform_init
+
+    V1 = cfg.max_nVertices + 1
+    dtype = jnp.dtype(cfg.dtype)
+    keys = iter(jax.random.split(key, 6 * cfg.nLevels + 3))
+    params = {"H": uniform_init(next(keys), (cfg.nChanels, cfg.feat_dim),
+                                dtype),
+              "levels": []}
+    for l in range(1, cfg.nLevels + 1):
+        C_prev, C = cfg.channels_at(l - 1), cfg.channels_at(l)
+        # Reference uniform_init scales vectors by their size
+        # (GraphFlow.h:1297-1307), so lambda/scalar ranges are 0.9/C.
+        lev = {"scalar": uniform_init(next(keys), (C_prev,), dtype,
+                                      fan=C_prev)}
+        if cfg.filter == "unrestricted":
+            lev["Wf"] = uniform_init(next(keys), (V1, cfg.P, cfg.P, C),
+                                     dtype, fan=cfg.P)
+        elif cfg.filter == "matrix":
+            lev["lambda1"] = uniform_init(next(keys), (V1, C_prev, C_prev),
+                                          dtype, fan=C_prev)
+            lev["lambda2"] = uniform_init(next(keys), (V1, C_prev, C_prev),
+                                          dtype, fan=C_prev)
+        else:
+            lev["lambda1"] = uniform_init(next(keys), (V1, C), dtype, fan=C)
+            lev["lambda2"] = uniform_init(next(keys), (V1, C), dtype, fan=C)
+        if cfg.filter == "concat_k":
+            lev["K"] = uniform_init(next(keys), (C, 2 * C), dtype)
+        lev["b"] = uniform_init(next(keys), (V1, C), dtype, fan=C)
+        params["levels"].append(lev)
+    CL = cfg.channels_at(cfg.nLevels)
+    if cfg.nClasses:
+        params["W"] = uniform_init(next(keys), (cfg.nClasses, CL), dtype)
+    else:
+        params["W"] = uniform_init(next(keys), (CL,), dtype)
+    return params
+
+
+def _neighbor_quadratic_sum(state, vid_prev, adj1, vid_cur, V, Pp, C):
+    """SUM_{w in 1-hop(v)} X f_w X^T for every v, vectorized.
+
+    state: [V, Pp, Pp, C] previous level, vid_prev[w, q] = phi_{l-1}(w)[q]
+    (sentinel V), adj1 closed 1-hop [V, V], vid_cur[v, p] (sentinel V).
+    """
+    # Scatter to vertex-id space: G[w, u1, u2, c]
+    G = jnp.zeros((V, V + 1, V + 1, C), state.dtype)
+    w_idx = jnp.arange(V)[:, None, None]
+    u1 = vid_prev[:, :, None].repeat(Pp, 2)
+    u2 = vid_prev[:, None, :].repeat(Pp, 1)
+    G = G.at[w_idx, u1, u2].set(state)
+    G = G.at[:, V, :, :].set(0.0)
+    G = G.at[:, :, V, :].set(0.0)
+    # One contraction over the neighbor axis.
+    M = jnp.einsum("vw,wxyc->vxyc", adj1, G)        # [V, V+1, V+1, C]
+    # Gather into phi_l(v)'s ordering.
+    out = jnp.take_along_axis(M, vid_cur[:, :, None, None], axis=1)
+    out = jnp.take_along_axis(out, vid_cur[:, None, :, None], axis=2)
+    return out                                       # [V, Pp, Pp, C]
+
+
+def forward(params, g, cfg: SMP2DSteerableConfig):
+    V, Pp = cfg.max_nVertices, cfg.P
+
+    C0 = cfg.nChanels
+    F0 = activations.leaky_relu(g["wl_feat"] @ params["H"].T)     # [V, C0]
+    state = jnp.zeros((V, Pp, Pp, C0), F0.dtype).at[:, 0, 0, :].set(
+        F0 * g["vmask"][:, None])
+    vid_prev = jnp.full((V, Pp), V, jnp.int32).at[:, 0].set(
+        jnp.arange(V, dtype=jnp.int32))
+
+    adj1 = jnp.minimum(g["adj"] + jnp.eye(V, dtype=g["adj"].dtype), 1.0)
+    adj1 = adj1 * g["vmask"][:, None] * g["vmask"][None, :]
+
+    for l in range(cfg.nLevels):
+        lev = params["levels"][l]
+        C_prev, C = cfg.channels_at(l), cfg.channels_at(l + 1)
+        rm = g["smask"][l + 1][:, :, 0]                        # [V, Pp]
+        vid_cur = jnp.where(rm > 0, g["nbr"][l].astype(jnp.int32), V)
+        s = g["sizes"][l + 1]
+
+        q = _neighbor_quadratic_sum(state, vid_prev, adj1, vid_cur, V, Pp,
+                                    C_prev)
+        # + scalar (.) reduced adjacency (SMP_2D.h:528-530)
+        q = q + g["radj"][l][:, :, :, None] * lev["scalar"][None, None, None]
+        q = q * g["smask"][l + 1][:, :, :, None]
+
+        # Row-broadcast column sums: (1_s @ M)[p1, p2] = sum_p M[p, p2]
+        colsum = q.sum(axis=1)                                 # [V, Pp, C_prev]
+        ones_q = rm[:, :, None, None] * colsum[:, None, :, :]  # [V,Pp,Pp,Cp]
+
+        if cfg.filter == "steerable":
+            l1, l2 = lev["lambda1"][s], lev["lambda2"][s]      # [V, C]
+            z = (l1[:, None, None, :] * q + l2[:, None, None, :] * ones_q)
+        elif cfg.filter == "concat_k":
+            l1, l2 = lev["lambda1"][s], lev["lambda2"][s]
+            cat = jnp.concatenate(
+                [l1[:, None, None, :] * q, l2[:, None, None, :] * ones_q],
+                axis=-1)                                       # [V,Pp,Pp,2C]
+            z = jnp.einsum("kw,vxyw->vxyk", lev["K"], cat)     # K(2C->C)
+        elif cfg.filter == "matrix":
+            L1, L2 = lev["lambda1"][s], lev["lambda2"][s]      # [V, Cp, Cp]
+            p1 = jnp.einsum("vxyc,vcd->vxyd", q, L1)
+            p2 = jnp.einsum("vxyc,vcd->vxyd", ones_q, L2)
+            z = jnp.concatenate([p1, p2], axis=-1)             # [V,..,2 Cp]
+        elif cfg.filter == "unrestricted":
+            Wv = lev["Wf"][s]                                  # [V, Pp, Pp, C]
+            Wv = Wv * g["smask"][l + 1][:, :, :, None]
+            z = jnp.einsum("vpqc,vqrc->vprc", Wv, q)
+        else:
+            raise ValueError(cfg.filter)
+
+        z = z + lev["b"][s][:, None, None, :]
+        state = activations.leaky_relu(z)
+        state = state * g["smask"][l + 1][:, :, :, None]
+        vid_prev = vid_cur
+
+    vertex = activations.leaky_relu(state.sum(axis=(1, 2)))
+    graph_feat = (vertex * g["vmask"][:, None]).sum(axis=0)
+    if cfg.nClasses:
+        return params["W"] @ graph_feat, graph_feat
+    return jnp.dot(graph_feat, params["W"]), graph_feat
+
+
+class SMP2DSteerable(GraphModel):
+    def __init__(self, cfg: SMP2DSteerableConfig, seed: int = 0):
+        kwargs = ({"gamma": cfg.momentum_param}
+                  if cfg.optimizer == "momentum" else {})
+        super().__init__(optimizer=cfg.optimizer, **kwargs)
+        self.cfg = cfg
+        self.params = init_params(jax.random.PRNGKey(seed), cfg)
+        self._finish_init()
+
+    def _prepare(self, graph: DenseGraph):
+        return prep.prepare_graph(
+            graph, self.cfg.nLevels, self.cfg.max_nVertices,
+            max_receptive_field=None, nDepth=self.cfg.nDepth,
+            has_WL_ordering=self.cfg.has_WL_ordering,
+            dtype=np.dtype(self.cfg.dtype))
+
+    def _forward(self, params, g):
+        return forward(params, g, self.cfg)
+
+    def _loss(self, params, g, target):
+        out, _ = forward(params, g, self.cfg)
+        if self.cfg.nClasses:
+            return losses.log_loss(out, target.astype(jnp.int32))
+        return losses.squared_loss(out, target)
+
+
+# ----------------------------------------------------------------------
+# Named constructors mirroring the reference classes
+# ----------------------------------------------------------------------
+
+def SMP_2D(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+           momentum_param=0.9, has_WL_ordering=True, seed=0):
+    """``SMP_2D.h``."""
+    return SMP2DSteerable(SMP2DSteerableConfig(
+        max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+        filter="steerable", has_WL_ordering=has_WL_ordering,
+        momentum_param=momentum_param), seed)
+
+
+def SMP_2D_classification(max_nVertices, nLevels, nChanels, nFeatures,
+                          nDepth, nClasses, momentum_param=0.9, seed=0):
+    """``SMP_2D_classification.h``."""
+    return SMP2DSteerable(SMP2DSteerableConfig(
+        max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+        filter="steerable", nClasses=nClasses,
+        momentum_param=momentum_param), seed)
+
+
+def SMP_2D_ver2(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+                momentum_param=0.9, seed=0):
+    """``SMP_2D_ver2.h``: matrix lambdas, channel growth x2 per level."""
+    return SMP2DSteerable(SMP2DSteerableConfig(
+        max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+        filter="matrix", momentum_param=momentum_param), seed)
+
+
+SMP_2D_ver3 = SMP_2D_ver2  # ver3 differs only in training-loop details
+
+
+def SMP_2D_ver4(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+                momentum_param=0.9, seed=0):
+    """``SMP_2D_ver4.h``: vector lambdas + K(2C->C) reduction."""
+    return SMP2DSteerable(SMP2DSteerableConfig(
+        max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+        filter="concat_k", momentum_param=momentum_param), seed)
+
+
+SMP_2D_ver5 = SMP_2D_ver4  # ver5 = ver4 with the K reducer (same math here)
+
+
+def Unrestricted_SMP_2D(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+                        momentum_param=0.9, seed=0):
+    """``Unrestricted_SMP_2D.h``: full learned W[s] filter tensors."""
+    return SMP2DSteerable(SMP2DSteerableConfig(
+        max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+        filter="unrestricted", momentum_param=momentum_param), seed)

@@ -93,12 +93,12 @@ def tensor4d_tensor3d_mul(t4, t3):
 
 
 def custom_matmul_tensor(m, t):
-    """``CustomMatMulTensor.h``: channelwise (m @ t[:, :, d]) for each depth d.
+    """``CustomMatMulTensor.h:46-62``: channel mixing of a 3-D tensor.
 
-    m: [R, S], t: [S, Cc, D] -> [R, Cc, D]; identical math to
-    ``mat_tensor_mul`` (the reference keeps two classes for historic reasons).
+    m: [Dout, Din], t: [R, Cc, Din] -> [R, Cc, Dout]:
+    out[i, j, k] = sum_v m[k, v] * t[i, j, v].
     """
-    return jnp.einsum("rs,scd->rcd", m, t)
+    return jnp.einsum("kv,ijv->ijk", m, t)
 
 
 def vector_broadcast_mat(v, m):
