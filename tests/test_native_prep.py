@@ -31,7 +31,7 @@ def test_native_matches_python_on_molecules(cap, wl_order):
                       nDepth=3, has_WL_ordering=wl_order)
         _assert_prepared_equal(
             native.prepare_graph_native(g, **kwargs),
-            prep.prepare_graph(g, **kwargs))
+            prep.prepare_graph(g, backend="python", **kwargs))
 
 
 def test_native_matches_python_on_random_graphs():
@@ -41,7 +41,7 @@ def test_native_matches_python_on_random_graphs():
                       nDepth=2)
         _assert_prepared_equal(
             native.prepare_graph_native(g, **kwargs),
-            prep.prepare_graph(g, **kwargs))
+            prep.prepare_graph(g, backend="python", **kwargs))
 
 
 def test_native_coulomb_and_raw_features():
@@ -51,7 +51,7 @@ def test_native_coulomb_and_raw_features():
                   nDepth=0, use_coulomb=True, use_wl_features=False)
     _assert_prepared_equal(
         native.prepare_graph_native(g, **kwargs),
-        prep.prepare_graph(g, **kwargs))
+        prep.prepare_graph(g, backend="python", **kwargs))
 
 
 def test_native_is_not_slower():
@@ -69,7 +69,7 @@ def test_native_is_not_slower():
         return min(ts)
 
     t_native = best_of(lambda: native.prepare_graph_native(g, **kwargs))
-    t_python = best_of(lambda: prep.prepare_graph(g, **kwargs))
+    t_python = best_of(lambda: prep.prepare_graph(g, backend="python", **kwargs))
     # Best-of-3 to be robust to machine load; native is ~3x faster in
     # practice, assert it is at least not dramatically slower.
     assert t_native < t_python * 1.5, (t_native, t_python)
