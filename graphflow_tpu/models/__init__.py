@@ -35,3 +35,8 @@ from graphflow_tpu.models.smp1d import (
     SMP_theta_physics, SMP_1D_ver2, SMP_1D_ver3, SMP_1D_ver3_classification,
     Unrestricted_SMP_1D_ver2,
 )
+from graphflow_tpu.models.smp2d import smp2d_inspect
+from graphflow_tpu.models.smp2d import (
+    SMP_2D_ver4_classification, SMP_omega_gpu, SMP_beta_gpu,
+    SMP_omega_gpu_multistreams, SMP_beta_gpu_multistreams,
+)

@@ -325,3 +325,65 @@ def SMP_2D_ver8_thread(max_nVertices, max_receptive_field, nLevels, nChanels,
     subsumed by XLA's parallel execution; identical math to ver8."""
     return SMP_2D_ver8(max_nVertices, max_receptive_field, nLevels, nChanels,
                        nFeatures, nDepth, seed)
+
+
+def smp2d_inspect(model, graph) -> dict:
+    """Activation dump for debugging (the reference's ``ForDebugging()``,
+    ``SMP_2D.h:762-795`` prints per-level activations): returns per-level
+    vertex tensor states, vertex features, and the graph feature as NumPy
+    arrays restricted to real vertices."""
+    import numpy as np
+
+    batch = model._stack([graph])
+    g = jax.tree_util.tree_map(lambda x: x[0], batch)
+    states = smp2d_states(model.params, g, model.cfg)
+    n = graph.nVertices
+    vertex = activations.leaky_relu(states[-1].sum(axis=(1, 2)))
+    return {
+        "states": [np.asarray(s)[:n] for s in states],
+        "vertex_features": np.asarray(vertex)[:n],
+        "graph_feature": np.asarray(_graph_feature(states[-1], g["vmask"])),
+    }
+
+
+def SMP_2D_ver4_classification(max_nVertices, max_receptive_field, nLevels,
+                               nChanels, nFeatures, nDepth, nClasses,
+                               seed=0):
+    """``SMP_2D_ver4_classification.h`` (steerable concat-K + LogLoss)."""
+    from graphflow_tpu.models.smp2d_steerable import (
+        SMP2DSteerable, SMP2DSteerableConfig)
+    return SMP2DSteerable(SMP2DSteerableConfig(
+        max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+        filter="concat_k", nClasses=nClasses), seed)
+
+
+# ----------------------------------------------------------------------
+# GPU model drivers (reference GraphFlow_gpu/): on TPU the whole model IS
+# the accelerated path — one XLA program covers what the reference split
+# into CPU orchestration + per-op CUDA kernels + per-replica streams.
+# These aliases keep the reference class names resolvable.
+# ----------------------------------------------------------------------
+
+def SMP_omega_gpu(*args, **kwargs):
+    """``GraphFlow_gpu/SMP_omega_gpu.h``: omega with RisiContraction_18_gpu
+    nodes.  The TPU equivalent is SMP_omega itself (the contraction bank is
+    compiled for the accelerator; no per-op offload exists)."""
+    return SMP_omega(*args, **kwargs)
+
+
+def SMP_beta_gpu(*args, **kwargs):
+    """``GraphFlow_gpu/SMP_beta_gpu.h``: see SMP_omega_gpu."""
+    return SMP_beta(*args, **kwargs)
+
+
+def SMP_omega_gpu_multistreams(*args, nThreads=None, **kwargs):
+    """``GraphFlow_gpu/SMP_omega_gpu_multistreams.h``: replica-per-stream
+    batch concurrency.  On TPU, batch concurrency is the vmapped batch axis
+    of one jitted program (XLA schedules it); multi-chip concurrency is
+    graphflow_tpu.parallel."""
+    return SMP_omega(*args, **kwargs)
+
+
+def SMP_beta_gpu_multistreams(*args, nThreads=None, **kwargs):
+    """``GraphFlow_gpu/SMP_beta_gpu_multistreams.h``: see above."""
+    return SMP_beta(*args, **kwargs)

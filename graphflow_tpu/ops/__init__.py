@@ -17,7 +17,7 @@ from graphflow_tpu.ops.reductions import (
     sum_rows, shrink_matrix, shrink_tensor, concat, matrix_concat,
     tensor3d_concat, tensor4d_concat, stack_tensor3d, shuffle_matrix,
     sort_vector, kmax, vertex_representation, risi_layer_1d, risi_layer_2d,
-    risi_layer_3d,
+    risi_layer_3d, reshape2d, reshape3d, reshape4d,
 )
 from graphflow_tpu.ops.conv import conv1d, conv2d, max_pool2d, avg_pool2d
 from graphflow_tpu.ops.losses import (

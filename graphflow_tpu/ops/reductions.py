@@ -157,3 +157,18 @@ def risi_layer_3d(X, mask=None):
     u_xx = jnp.einsum("x,iy,iz->xyz", u, X, X)           # j==v slot
     xxx = jnp.einsum("ix,iy,iz->xyz", X, X, X)
     return uuu - xx_u - x_u_x - u_xx + 2.0 * xxx
+
+
+def reshape2d(x, nRows, nColumns):
+    """``Reshape2D.h``: view as [nRows, nColumns]."""
+    return jnp.reshape(x, (nRows, nColumns))
+
+
+def reshape3d(x, nRows, nColumns, nDepth):
+    """``Reshape3D.h``: view as [nRows, nColumns, nDepth] (depth last)."""
+    return jnp.reshape(x, (nRows, nColumns, nDepth))
+
+
+def reshape4d(x, nRows, nColumns, nChanels1, nChanels2):
+    """``Reshape4D.h``."""
+    return jnp.reshape(x, (nRows, nColumns, nChanels1, nChanels2))
