@@ -54,6 +54,9 @@ def measure_dp_scaling(n_list=(1, 2, 4, 8)):
     from graphflow_tpu import parallel
 
     cpus = jax.devices("cpu")
+    # Pin array creation to CPU: without this every intermediate bounces
+    # through the (tunneled, high-RTT) default accelerator.
+    jax.config.update("jax_default_device", cpus[0])
     model = SMP_omega(max_nVertices=8, max_receptive_field=3, nLevels=1,
                       nChanels=8, nFeatures=4, nDepth=2, seed=0)
     from graphflow_tpu.utils.datasets import toy_molecules
@@ -94,11 +97,13 @@ def main():
 
     results = measure_dp_scaling()
     if 1 in results:
+        print("NOTE: the virtual CPU mesh shares the host's physical cores, "
+              "so these efficiencies validate the SPMD program + harness, "
+              "not real ICI scaling (requires a multi-chip slice):")
         base = results[1]
         for n, thr in sorted(results.items()):
             eff = thr / (n * base) * 100
-            print(f"DP x{n}: {thr:.1f} graphs/s, efficiency {eff:.0f}%"
-                  f"{' (virtual CPU mesh)' if n > 0 else ''}")
+            print(f"  DP x{n}: {thr:.1f} graphs/s ({eff:.0f}% of linear)")
 
 
 if __name__ == "__main__":
