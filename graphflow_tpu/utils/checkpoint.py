@@ -9,6 +9,7 @@ are the practical binary path.
 
 from __future__ import annotations
 
+import os
 from typing import Any, List, Optional
 
 import jax
@@ -84,3 +85,17 @@ def load_npz(filename: str, params_template: Any):
     leaves, treedef = jax.tree_util.tree_flatten(params_template)
     arrs = [jnp.asarray(data[f"arr_{i}"]) for i in range(len(leaves))]
     return jax.tree_util.tree_unflatten(treedef, arrs)
+
+
+def save_orbax(directory: str, params: Any):
+    """Orbax checkpoint (production path for large models/sharded params)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(directory), params)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(directory: str, params_template: Any):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(directory), target=params_template)
