@@ -48,13 +48,16 @@ class PairGraphModel:
     def __init__(self, optimizer="adam", **opt_kwargs):
         self.opt = optim_lib.make_optimizer(optimizer, **opt_kwargs)
         self._prep_cache = {}
+        self.dropout_nKept = None
 
     def _finish_init(self):
         self.opt_state = self.opt.init(self.params)
 
         def batch_loss(params, batch):
+            mask = batch.get("case_mask")
             losses_ = jax.vmap(
-                lambda g1, g2, t: self._loss(params, g1, g2, t))(
+                lambda g1, g2, t: self._loss(params, g1, g2, t,
+                                             case_mask=mask))(
                     batch["g1"], batch["g2"], batch["target"])
             return losses_.sum()
 
@@ -89,11 +92,20 @@ class PairGraphModel:
 
     # Reference API (SMP_omega_pairgraphs.h getLoss/BatchLearn/Predict)
     def getLoss(self, graphs1, graphs2, targets) -> float:
-        return float(self._batch_loss(self.params,
-                                      self._stack(graphs1, graphs2, targets)))
+        batch = self._stack(graphs1, graphs2, targets)
+        if getattr(self, "dropout_nKept", None):
+            from graphflow_tpu.ops.contractions import dropout_case_mask
+            batch["case_mask"] = dropout_case_mask(
+                jax.random.PRNGKey(0), self.dropout_nKept, train=False)
+        return float(self._batch_loss(self.params, batch))
 
     def BatchLearn(self, graphs1, graphs2, targets, learning_rate):
         batch = self._stack(graphs1, graphs2, targets)
+        if getattr(self, "dropout_nKept", None):
+            from graphflow_tpu.ops.contractions import dropout_case_mask
+            self._dropout_key, sub = jax.random.split(self._dropout_key)
+            batch["case_mask"] = dropout_case_mask(
+                sub, self.dropout_nKept, train=True)
         loss_before, grads = self._batch_grad(self.params, batch)
         self.params, self.opt_state = self.opt.update(
             self.params, self.opt_state, grads, learning_rate,
@@ -140,6 +152,7 @@ class SMPPairGraphs(PairGraphModel):
         self.cfg1 = mk_cfg(max_nVertices_1, nFeatures_1)
         self.cfg2 = mk_cfg(max_nVertices_2, nFeatures_2)
         self.dropout_nKept = dropout_nKept
+        self._dropout_key = jax.random.PRNGKey(1234 + seed)
 
         nTotal = 2 * (nLevels + 1) * nChanels
         h1, h2 = _mlp_head_dims(nTotal)
@@ -171,8 +184,12 @@ class SMPPairGraphs(PairGraphModel):
     def _prepare_2(self, graph):
         return self._prepare_cfg(graph, self.cfg2)
 
-    def _forward(self, params, g1, g2):
-        feats_fn = smp2d_level_features if self.order == 2 else smp1d_level_features
+    def _forward(self, params, g1, g2, case_mask=None):
+        if self.order == 2:
+            feats_fn = lambda p, g, c: smp2d_level_features(
+                p, g, c, case_mask=case_mask)
+        else:
+            feats_fn = smp1d_level_features
         f1 = feats_fn(params["tower1"], g1, self.cfg1)   # [(L+1), C]
         f2 = feats_fn(params["tower2"], g2, self.cfg2)
         # Reference concat order: for each level, tower1[l] then tower2[l].
@@ -181,8 +198,9 @@ class SMPPairGraphs(PairGraphModel):
         h = activations.leaky_relu(params["W2"] @ h)
         return jnp.dot(h, params["W3"])
 
-    def _loss(self, params, g1, g2, target):
-        return losses.squared_loss(self._forward(params, g1, g2), target)
+    def _loss(self, params, g1, g2, target, case_mask=None):
+        return losses.squared_loss(
+            self._forward(params, g1, g2, case_mask=case_mask), target)
 
 
 def SMP_omega_pairgraphs(max_nVertices_1, max_nVertices_2,
@@ -217,7 +235,8 @@ def SMP_sigma_pairgraphs(max_nVertices_1, max_nVertices_2,
     """``SMP_sigma_pairgraphs.h:248-257``: omega towers + per-case
     contraction dropout.  The stochastic per-step case mask is available via
     ``ops.contractions.risi_contraction_18_dropout``; this constructor
-    currently trains with the full bank (nKept recorded for API parity)."""
+    draws a fresh random nKept-case mask per BatchLearn step and applies the
+    nKept/18 eval scaling in getLoss (DropOut-style, non-inverted)."""
     return SMPPairGraphs(2, max_nVertices_1, max_nVertices_2,
                          max_receptive_field, nLevels, nChanels, nFeatures_1,
                          nFeatures_2, dropout_nKept=nKept, seed=seed)

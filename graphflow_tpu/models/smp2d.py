@@ -118,9 +118,12 @@ def _gather_neighbor_tensors(state_pad, nbr, pos):
     return jax.vmap(per_vertex)(nbr, pos)
 
 
-def smp2d_states(params, g, cfg: SMP2DConfig):
+def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None):
     """Run the tower, returning the per-level vertex tensor states
-    (list of [V, P, P, C], levels 0..nLevels)."""
+    (list of [V, P, P, C], levels 0..nLevels).
+
+    ``case_mask`` ([nContractions] multiplier) enables the sigma variant's
+    per-case contraction dropout (RisiContraction_18_dropout.h)."""
     contract_fn, nCon = _CONTRACTIONS[cfg.contraction]
     V, P, C = cfg.max_nVertices, cfg.P, cfg.nChanels
 
@@ -138,6 +141,8 @@ def smp2d_states(params, g, cfg: SMP2DConfig):
             Y = jax.vmap(contract_fn)(T)                        # no adjacency
         else:
             Y = jax.vmap(contract_fn)(T, g["radj"][l])          # [V,P,P,nCon*C]
+        if case_mask is not None:
+            Y = Y * jnp.repeat(case_mask, C)[None, None, None, :]
         Z = Y.reshape(V, P * P, nCon * C) @ Kl + bl[None, None, :]
         state = activations.leaky_relu(Z).reshape(V, P, P, C)
         state = state * g["smask"][l + 1][:, :, :, None]
@@ -151,10 +156,10 @@ def _graph_feature(state, vmask):
     return (vertex * vmask[:, None]).sum(axis=0)                # [C]
 
 
-def smp2d_level_features(params, g, cfg: SMP2DConfig):
+def smp2d_level_features(params, g, cfg: SMP2DConfig, case_mask=None):
     """Per-level graph features (the pairgraph towers collect these at every
     level, SMP_omega_pairgraphs.h:640-654). Returns [(nLevels+1), C]."""
-    states = smp2d_states(params, g, cfg)
+    states = smp2d_states(params, g, cfg, case_mask=case_mask)
     return jnp.stack([_graph_feature(s, g["vmask"]) for s in states])
 
 
