@@ -276,14 +276,14 @@ class GCNKernel(PairGraphModel):
 
     _prepare_2 = _prepare_1
 
-    def _forward(self, params, g1, g2):
+    def _forward(self, params, g1, g2, case_mask=None):
         tower = dict(params["tower"])
         tower["W"] = jnp.zeros((self.cfg.nHiddens,))  # unused head slot
         _, top1 = gcn_forward(tower, g1, self.cfg)
         _, top2 = gcn_forward(tower, g2, self.cfg)
         return jnp.dot(jnp.concatenate([top1, top2]), params["W"])
 
-    def _loss(self, params, g1, g2, target):
+    def _loss(self, params, g1, g2, target, case_mask=None):
         return losses.squared_loss(self._forward(params, g1, g2), target)
 
 
