@@ -67,3 +67,28 @@ def pad_batch_to(batch: GraphBatch, size: int) -> GraphBatch:
         return jnp.pad(x, pad_width)
 
     return jax.tree_util.tree_map(_pad, batch)
+
+
+def bucket_by_size(graphs, targets=None, boundaries=(8, 16, 32, 64, 128)):
+    """Group graphs into padded-size buckets (production input pipeline).
+
+    The reference pads everything to one max_nVertices; bucketing pads each
+    graph only to the smallest boundary >= its vertex count, trading a few
+    XLA retraces (one per bucket shape) for much less padding waste.
+
+    Returns {boundary: (graphs, targets)} with empty buckets omitted.
+    """
+    buckets = {}
+    for i, g in enumerate(graphs):
+        for b in boundaries:
+            if g.nVertices <= b:
+                gs, ts = buckets.setdefault(b, ([], []))
+                gs.append(g)
+                if targets is not None:
+                    ts.append(targets[i])
+                break
+        else:
+            raise ValueError(
+                f"graph with {g.nVertices} vertices exceeds the largest "
+                f"bucket boundary {boundaries[-1]}")
+    return buckets

@@ -174,3 +174,47 @@ class GraphModel:
 
     def restore_parameters(self):
         self.params, self.opt_state = self._cached
+
+
+def fit_bucketed(model: GraphModel, graphs, targets, learning_rate: float,
+                 nEpochs: int, boundaries=(8, 16, 32, 64), seed: int = 0,
+                 verbose: bool = False):
+    """Bucketed training loop: pad each graph to its size bucket instead of
+    the global max (one jit trace per bucket shape).
+
+    Requires a model whose forward derives V from the data (the SMP
+    families); the model's receptive-field cap stays fixed.  Returns the
+    final epoch's total loss.
+    """
+    import numpy as np
+    from graphflow_tpu.core import batching as batching_mod
+
+    buckets = batching_mod.bucket_by_size(graphs, targets, boundaries)
+    # Per-bucket preparation with bucket-local padding.
+    prepared = {}
+    for b, (gs, ts) in buckets.items():
+        saved = model.cfg.max_nVertices
+        pgs = []
+        for g in gs:
+            model.cfg.max_nVertices = b
+            try:
+                pgs.append(model._prepare(g))
+            finally:
+                model.cfg.max_nVertices = saved
+        prepared[b] = (batching_mod.stack_graphs(pgs, ts), len(gs))
+
+    rng = np.random.default_rng(seed)
+    total = None
+    order = list(prepared.items())
+    for epoch in range(nEpochs):
+        rng.shuffle(order)
+        total = 0.0
+        for b, (batch, n) in order:
+            loss, grads = model._batch_grad(model.params, batch)
+            model.params, model.opt_state = model.opt.update(
+                model.params, model.opt_state, grads, learning_rate,
+                nBatch=n)
+            total += float(loss)
+        if verbose and epoch % max(1, nEpochs // 8) == 0:
+            print(f"epoch {epoch}: loss {total:.4f}")
+    return total

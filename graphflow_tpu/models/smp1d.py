@@ -125,7 +125,7 @@ def _neighbor_sum(f_prev, vid_prev, adj1, vid_cur, V, P, C):
 
 def smp1d_states(params, g, cfg: SMP1DConfig):
     """Run the tower, returning per-level matrix states [V, P, C]."""
-    V, P, C = cfg.max_nVertices, cfg.P, cfg.nChanels
+    V, P, C = g["vmask"].shape[0], cfg.P, cfg.nChanels
 
     F0 = activations.leaky_relu(g["wl_feat"] @ params["H"].T)     # [V, C]
     state = jnp.zeros((V, P, C), F0.dtype).at[:, 0, :].set(

@@ -125,7 +125,8 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None):
     ``case_mask`` ([nContractions] multiplier) enables the sigma variant's
     per-case contraction dropout (RisiContraction_18_dropout.h)."""
     contract_fn, nCon = _CONTRACTIONS[cfg.contraction]
-    V, P, C = cfg.max_nVertices, cfg.P, cfg.nChanels
+    # V from the data (shape-polymorphic for bucketed batching); P/C static.
+    V, P, C = g["vmask"].shape[0], cfg.P, cfg.nChanels
 
     # Level 0 (reference SMP_omega.h:616-627): 1x1xC vertex tensors.
     F0 = activations.leaky_relu(g["wl_feat"] @ params["H"].T)   # [V, C]
