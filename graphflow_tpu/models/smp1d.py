@@ -110,17 +110,17 @@ def _neighbor_sum(f_prev, vid_prev, adj1, vid_cur, V, P, C):
     vid_prev[w, q] = phi_{l-1}(w)[q] (sentinel V), adj1: [V, V] closed 1-hop,
     vid_cur[v, p] = phi_l(v)[p] (sentinel V).
     """
-    # Scatter local rows into vertex-id space: G[w, u, :] = f_w[pos(u), :]
-    G = jnp.zeros((V, V + 1, C), f_prev.dtype)
-    w_idx = jnp.arange(V)[:, None]
-    G = G.at[w_idx, vid_prev].set(f_prev)       # duplicates only at sentinel
-    G = G.at[:, V, :].set(0.0)                  # clear sentinel column
+    # Scatter local rows into vertex-id space via one-hot matmul (sentinel V
+    # falls outside the iota range -> zero row; TPU scatters/gathers are far
+    # slower than the equivalent MXU matmuls, see smp2d._gather_neighbor_tensors).
+    dt = f_prev.dtype
+    selp = (vid_prev[:, :, None] == jnp.arange(V)).astype(dt)   # [V, P, V]
+    G = jnp.einsum("wqu,wqc->wuc", selp, f_prev)                # [V, V, C]
     # One MXU matmul over the neighbor axis.
-    M = jnp.einsum("vw,wuc->vuc", adj1, G)      # [V, V+1, C]
-    # Gather back into each phi_l(v)'s local ordering.
-    Mp = jnp.pad(M, ((0, 0), (0, 0), (0, 0)))
-    sum_v = jnp.take_along_axis(Mp, vid_cur[:, :, None], axis=1)  # [V, P, C]
-    return sum_v
+    M = jnp.einsum("vw,wuc->vuc", adj1, G)                      # [V, V, C]
+    # Gather back into each phi_l(v)'s local ordering (one-hot matmul).
+    selc = (vid_cur[:, :, None] == jnp.arange(V)).astype(dt)    # [V, P, V]
+    return jnp.einsum("vpu,vuc->vpc", selc, M)                  # [V, P, C]
 
 
 def smp1d_states(params, g, cfg: SMP1DConfig):

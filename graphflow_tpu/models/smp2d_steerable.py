@@ -116,20 +116,19 @@ def _neighbor_quadratic_sum(state, vid_prev, adj1, vid_cur, V, Pp, C):
     state: [V, Pp, Pp, C] previous level, vid_prev[w, q] = phi_{l-1}(w)[q]
     (sentinel V), adj1 closed 1-hop [V, V], vid_cur[v, p] (sentinel V).
     """
-    # Scatter to vertex-id space: G[w, u1, u2, c]
-    G = jnp.zeros((V, V + 1, V + 1, C), state.dtype)
-    w_idx = jnp.arange(V)[:, None, None]
-    u1 = vid_prev[:, :, None].repeat(Pp, 2)
-    u2 = vid_prev[:, None, :].repeat(Pp, 1)
-    G = G.at[w_idx, u1, u2].set(state)
-    G = G.at[:, V, :, :].set(0.0)
-    G = G.at[:, :, V, :].set(0.0)
+    # Scatter to vertex-id space via one-hot matmuls (sentinel V falls
+    # outside the iota range -> zero selector row; TPU scatters/gathers are
+    # far slower than MXU matmuls, see smp2d._gather_neighbor_tensors).
+    dt = state.dtype
+    selp = (vid_prev[:, :, None] == jnp.arange(V)).astype(dt)   # [V, Pp, V]
+    G = jnp.einsum("wqu,wqrc->wurc", selp, state)               # [V, V, Pp, C]
+    G = jnp.einsum("wrt,wurc->wutc", selp, G)                   # [V, V, V, C]
     # One contraction over the neighbor axis.
-    M = jnp.einsum("vw,wxyc->vxyc", adj1, G)        # [V, V+1, V+1, C]
-    # Gather into phi_l(v)'s ordering.
-    out = jnp.take_along_axis(M, vid_cur[:, :, None, None], axis=1)
-    out = jnp.take_along_axis(out, vid_cur[:, None, :, None], axis=2)
-    return out                                       # [V, Pp, Pp, C]
+    M = jnp.einsum("vw,wxyc->vxyc", adj1, G)                    # [V, V, V, C]
+    # Gather into phi_l(v)'s ordering (one-hot matmuls).
+    selc = (vid_cur[:, :, None] == jnp.arange(V)).astype(dt)    # [V, Pp, V]
+    out = jnp.einsum("vpx,vxyc->vpyc", selc, M)
+    return jnp.einsum("vqy,vpyc->vpqc", selc, out)              # [V, Pp, Pp, C]
 
 
 def forward(params, g, cfg: SMP2DSteerableConfig):
