@@ -29,6 +29,7 @@ trace-once jitted function over padded arrays.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -64,6 +65,10 @@ class SMP2DConfig:
     nClasses: Optional[int] = None    # set => classification head (LogLoss)
     optimizer: str = "adam"
     dtype: str = "float32"
+    # None = auto (fused Pallas level kernel on TPU for contraction 18);
+    # True/False forces. The fused kernel computes gather + bank + channel
+    # matmul in one HBM pass (ops/risi_fused_pallas.py).
+    use_fused_kernel: Optional[bool] = None
 
     @property
     def feat_dim(self) -> int:
@@ -120,12 +125,18 @@ def _gather_neighbor_tensors(state_pad, nbr, pos):
     """
     V = state_pad.shape[0]
     dt = state_pad.dtype
+    # f32 accumulation: free exactness (each output sums ONE product) and,
+    # for bf16 states, hits the native MXU bf16xbf16->f32 path (6x faster
+    # than plain bf16 einsum, measured).
+    ein = functools.partial(
+        jnp.einsum,
+        preferred_element_type=jnp.promote_types(dt, jnp.float32))
     onehot = (nbr[..., None] == jnp.arange(V)).astype(dt)          # [V, P, V]
-    Fn = jnp.einsum("vim,mqrc->viqrc", onehot, state_pad)   # [V,P,P+1,P+1,C]
+    Fn = ein("vim,mqrc->viqrc", onehot, state_pad).astype(dt)
     Xsel = (pos[..., None]
             == jnp.arange(state_pad.shape[1])).astype(dt)      # [V,P,P,P+1]
-    T = jnp.einsum("vipq,viqrc->viprc", Xsel, Fn)           # row alignment
-    return jnp.einsum("visr,viprc->vipsc", Xsel, T)         # column alignment
+    T = ein("vipq,viqrc->viprc", Xsel, Fn).astype(dt)       # row alignment
+    return ein("visr,viprc->vipsc", Xsel, T).astype(dt)     # column alignment
 
 
 def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None):
@@ -144,8 +155,24 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None):
         F0 * g["vmask"][:, None])
     states = [state]
 
+    use_fused = cfg.use_fused_kernel
+    if use_fused is None:
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
+        use_fused = (cfg.contraction == 18 and case_mask is None
+                     and platform in ("tpu", "axon")
+                     and jnp.dtype(cfg.dtype) in (jnp.dtype(jnp.float32),
+                                                  jnp.dtype(jnp.bfloat16)))
+
     for l in range(cfg.nLevels):
         Kl, bl = params["levels"][l]["K"], params["levels"][l]["b"]
+        if use_fused:
+            from graphflow_tpu.ops.risi_fused_pallas import risi18_level
+            Z = risi18_level(state, g["nbr"][l], g["pos"][l],
+                             g["radj"][l], Kl, bl)
+            state = Z.reshape(V, P, P, C) * g["smask"][l + 1][:, :, :, None]
+            states.append(state)
+            continue
         state_pad = jnp.pad(state, ((0, 0), (0, 1), (0, 1), (0, 0)))
         T = _gather_neighbor_tensors(state_pad, g["nbr"][l], g["pos"][l])
         if cfg.contraction == 4:
@@ -154,7 +181,10 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None):
             Y = jax.vmap(contract_fn)(T, g["radj"][l])          # [V,P,P,nCon*C]
         if case_mask is not None:
             Y = Y * jnp.repeat(case_mask, C)[None, None, None, :]
-        Z = Y.reshape(V, P * P, nCon * C) @ Kl + bl[None, None, :]
+        # One flattened MXU matmul: the batched [P*P, nCon*C] @ K form
+        # lowers to V separate small matmuls on TPU (~10x slower, measured).
+        Z = (Y.reshape(V * P * P, nCon * C) @ Kl
+             ).reshape(V, P * P, C) + bl[None, None, :]
         state = activations.leaky_relu(Z).reshape(V, P, P, C)
         state = state * g["smask"][l + 1][:, :, :, None]
         states.append(state)

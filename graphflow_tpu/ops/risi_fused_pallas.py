@@ -1,0 +1,421 @@
+"""Gather-fused Pallas TPU kernel: the COMPLETE second-order SMP level step.
+
+One kernel computes, per vertex v (reference call sites in parentheses):
+
+    T_i = X_i f_{nbr(v,i)} X_i^T          (alignment, SMP_omega.h:641-648)
+    Y   = RisiContraction_18(T, radj_v)   (RisiContraction_18.h:73-331)
+    Z   = leaky_relu(reshape(Y) @ K + b)  (SMP_omega.h:653-669)
+
+without materializing the stacked tensor T[V, P, P, P, C] in HBM (134 MB
+at production shapes): each grid step (v, i) DMAs ONE neighbor state
+block (~37 KB) into VMEM, aligns it on the MXU, and accumulates the
+contraction-bank primitives in VMEM scratch; at the last slot the 18-case
+bank + channel matmul + bias + LeakyReLU are assembled on-chip and one
+[P*P, Cout] block is written.  HBM traffic: ~151 MB neighbor reads +
+16 MB output, vs ~600 MB for the XLA einsum composition.
+
+Layout key: the level state is stored CHANNEL-MAJOR, [q1, (c q2)] per
+vertex.  Then
+
+  * row alignment is one matmul  A = Xsel @ F            [P, (c q2)]
+  * column alignment is C/G chunked matmuls against D_G = I_G (x) Xsel^T
+    (built once per slot by concat-doubling), giving T'' [P, (c p2)]
+    with K = G*(P+1), N = G*P — MXU-shaped, no per-slot dense
+    [(q c), (p c)] selector (whose VPU build cost dominates otherwise).
+
+All ops used are in the probed-supported Mosaic set (CLAUDE.md): 2-D
+matmuls, 2-D transpose, concat, elementwise, small iota.  Every selector
+constant over the output/bank index spaces is built HOST-side.
+
+Exactness: every alignment output element is a sum with exactly one
+nonzero 1.0*x product (bit-exact); the bank assembly uses the same
+shared-reduction decomposition as ops.contractions.risi_contraction_18
+(parity-tested against the reference binary).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _consts(P: int, C: int, dtype=np.float32):
+    """Host-built selector/mask constants (shapes fixed per (P, C)).
+
+    Column layouts: PC-wide axes are (c p2) C-MAJOR (col = c*P + p2);
+    N2-wide row axes are (x y) = (p1 p2) pair-major as in Tensor3D.h:37.
+    """
+    N2, PC = P * P, P * C
+    r = np.arange(N2)
+    p = np.arange(PC)
+
+    return {
+        # [(c p2), f]: sum over p2 keeping channel
+        "Mrow": (p[:, None] // P == np.arange(C)[None, :]).astype(dtype),
+        # [P, (c p2)]: diagonal mask p1 == p2
+        "dmaskP": (np.arange(P)[:, None] == p[None, :] % P).astype(dtype),
+        # [N2, (c p2)]: select p2 == y (= row % P)
+        "mask_cb": (p[None, :] % P == r[:, None] % P).astype(dtype),
+        # [P, N2] row collapse keeping major / minor index
+        "Sa": (np.arange(P)[:, None] == r[None, :] // P).astype(dtype),
+        "Sb": (np.arange(P)[:, None] == r[None, :] % P).astype(dtype),
+        # [N2, P] row-index selectors
+        "sel_rdiv": (r[:, None] // P == np.arange(P)[None, :]).astype(dtype),
+        "sel_rmod": (r[:, None] % P == np.arange(P)[None, :]).astype(dtype),
+        # [N2, N2] Kronecker masks for E9/E12 + the (a b)->(b a) pair swap
+        "blockdiag": (r[:, None] // P == r[None, :] // P).astype(dtype),
+        "crossdiag": (r[:, None] // P == r[None, :] % P).astype(dtype),
+        "Pswap": ((r[:, None] % P) * P + r[:, None] // P
+                  == r[None, :]).astype(dtype),
+        # [N2, 1]: rows with x == y
+        "dmask_row": (r // P == r % P).astype(dtype)[:, None],
+        # [P, N2]: expand per-e weights to r//P columns (E12 construction)
+        "Sexp": (np.arange(P)[:, None] == r[None, :] // P).astype(dtype),
+    }
+
+
+_CONST_NAMES = ("Mrow", "dmaskP", "mask_cb", "Sa", "Sb", "sel_rdiv",
+                "sel_rmod", "blockdiag", "crossdiag", "Pswap", "dmask_row",
+                "Sexp")
+
+
+def _tile_rows(x, times: int):
+    """jnp.tile along axis 0 via concat-doubling (Mosaic-safe)."""
+    out, built = x, 1
+    while built * 2 <= times:
+        out = jnp.concatenate([out, out], axis=0)
+        built *= 2
+    while built < times:
+        out = jnp.concatenate([out, x], axis=0)
+        built += 1
+    return out
+
+
+def _tile_concat(x, times_rows: int, times_cols: int):
+    def dbl(v, n, axis):
+        out, built = v, 1
+        while built * 2 <= n:
+            out = jnp.concatenate([out, out], axis=axis)
+            built *= 2
+        while built < n:
+            out = jnp.concatenate([out, v], axis=axis)
+            built += 1
+        return out
+
+    return dbl(dbl(x, times_rows, 0), times_cols, 1)
+
+
+def _blockdiag_kron(X, G: int):
+    """I_G (x) X via concat-doubling: [a, b] -> [G a, G b]."""
+    out = X
+    built = 1
+    while built < G:
+        za = jnp.zeros_like(out)
+        top = jnp.concatenate([out, za], axis=1)
+        bot = jnp.concatenate([za, out], axis=1)
+        out = jnp.concatenate([top, bot], axis=0)
+        built *= 2
+    assert built == G, f"chunk size {G} must be a power of two"
+    return out
+
+
+# Ablation switches for kernel performance experiments (debug only).
+_ABLATE = {"prims": True, "acc": True}
+
+
+def _kernel(nbr_ref,                              # scalar prefetch [V*P]
+            state_ref, xsel_ref, radj_ref, K_ref, b_ref,
+            Mrow_ref, dmaskP_ref, mask_cb_ref, Sa_ref, Sb_ref,
+            sel_rdiv_ref, sel_rmod_ref, blockdiag_ref, crossdiag_ref,
+            Pswap_ref, dmask_row_ref, Sexp_ref,
+            out_ref,
+            acc_ref, accR_ref, rowsum_ref, rowsumR_ref, diag_ref, coli_ref,
+            *, P, C, G, Cout, negslope, precision):
+    f32 = jnp.float32
+    i = pl.program_id(1)
+    N2, PC = P * P, P * C
+
+    def mm(x, y):
+        return jnp.dot(x, y, preferred_element_type=f32,
+                       precision=precision)
+
+    # ---- per-slot: align + primitives ------------------------------------
+    F = state_ref[0]                                  # [P+1, (c q2)] c-major
+    # xsel block is per-VERTEX ([(i p1), P+1]); slice out slot i's selector
+    # so the small DMA happens once per vertex, not once per grid step.
+    Xsel = xsel_ref[0, pl.ds(i * P, P), :].astype(F.dtype)   # [P, P+1]
+    A = mm(Xsel, F)                                   # [P, (c q2)] row-align
+
+    # adjacency row sums (cheap; recomputed each step from the VMEM block)
+    Ap_raw = radj_ref[0]
+    Ap = jnp.where(Ap_raw > 0, Ap_raw, jnp.zeros_like(Ap_raw)).astype(f32)
+    onesP = jnp.ones((P, 1), f32)
+    R_col = mm(Ap, onesP)                             # [P, 1]
+    onehot_i = (jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+                == i).astype(f32)                     # [1, P]
+    R_i = mm(onehot_i, R_col)                         # [1, 1] scalar R[i]
+
+    # column alignment: chunks of G channels against I_G (x) Xsel^T
+    DG = _blockdiag_kron(Xsel.T, G)                   # [G(P+1), GP]
+    QG, PG = G * (P + 1), G * P
+    chunks = [mm(A[:, k * QG:(k + 1) * QG], DG.astype(A.dtype))
+              for k in range(C // G)]
+    T2 = jnp.concatenate(chunks, axis=1)              # [P, (c p2)] f32
+
+    # primitives (layouts documented in _consts)
+    Mrow = Mrow_ref[...]                              # [(c p2), f]
+    if _ABLATE["prims"]:
+        R_tile = _tile_rows(R_col, C)                 # [(c p2), 1] = R[p2]
+        i_tile = _tile_rows(onehot_i.T, C)            # [(c p2), 1] = d(p2=i)
+        prim_sel = jnp.concatenate(
+            [Mrow, R_tile * Mrow, i_tile * Mrow], axis=1)  # [(c p2), 3C]
+        prims = mm(T2, prim_sel)                      # [P, 3C]
+        diag_i = mm(T2 * dmaskP_ref[...], Mrow)       # [P, C]
+
+        rowsum_ref[pl.ds(i * P, P), :] = prims[:, 0:C]
+        rowsumR_ref[pl.ds(i * P, P), :] = prims[:, C:2 * C]
+        coli_ref[pl.ds(i * P, P), :] = prims[:, 2 * C:3 * C]
+        diag_ref[pl.ds(i * P, P), :] = diag_i
+
+    if _ABLATE["acc"]:
+        @pl.when(i == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            accR_ref[...] = jnp.zeros_like(accR_ref)
+
+        acc_ref[...] += T2
+        accR_ref[...] += R_i[0, 0] * T2
+
+    # ---- last slot: assemble the 18-case bank + channel matmul -----------
+    @pl.when(i == P - 1)
+    def _assemble():
+        K = K_ref[...]
+        Sa, Sb = Sa_ref[...], Sb_ref[...]
+        sel_rdiv, sel_rmod = sel_rdiv_ref[...], sel_rmod_ref[...]
+        blockdiag, crossdiag = blockdiag_ref[...], crossdiag_ref[...]
+        Pswap, mask_cb = Pswap_ref[...], mask_cb_ref[...]
+        dmask_row, Sexp = dmask_row_ref[...], Sexp_ref[...]
+
+        ones_row = jnp.ones((1, N2), f32)
+        S_adj = jnp.sum(Ap)
+        eyeP = (jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
+                ).astype(f32)
+        trA = jnp.sum(Ap * eyeP)
+
+        T_ab = rowsum_ref[...]                        # [(a b), f]
+        M6 = rowsumR_ref[...]                         # [(a b), f] case 6
+        D_bc = diag_ref[...]                          # [(a b), f] T[a,b,b]
+        V_ac = coli_ref[...]                          # [(a b), f] T[a,b,a]
+        acc = acc_ref[...]                            # [b, (c p2)]
+        accR = accR_ref[...]
+
+        # [(b c), f] rows from the accumulators: replicate rows over y,
+        # select p2 == y, sum keeping channel.
+        T_bc = mm(mm(sel_rdiv, acc) * mask_cb, Mrow)  # [(b c), f] case base
+        M10 = mm(mm(sel_rdiv, accR) * mask_cb, Mrow)  # case 10
+
+        T_a = mm(Sa, T_ab)                            # [P, C]
+        T_b = mm(Sb, T_ab)
+        Tdiag_bc_a = mm(Sa, D_bc)
+        D_ac_b = mm(Sb, V_ac)
+        T_full = mm(ones_row, T_ab)                   # [1, C]
+        s14 = mm(ones_row, T_ab * dmask_row)
+        s15 = mm(ones_row, D_bc)
+        t18 = mm(ones_row, D_bc * dmask_row)
+        W17 = mm(Pswap, V_ac)                         # [(b e), f] T[e,b,e]
+
+        def Kblk(k):
+            return K[k * C:(k + 1) * C, :].astype(f32)
+
+        # Group A: cases 1, 3, 7
+        Z = mm(T_ab, S_adj * Kblk(0) + trA * Kblk(6))
+        Z = Z + mm(T_bc, S_adj * Kblk(2))
+
+        # Group B: cases 2, 4, 8, 11 (outer products with R[y])
+        U = jnp.concatenate([T_a, T_b, Tdiag_bc_a, D_ac_b], axis=1)
+        K_B = jnp.concatenate([Kblk(1), Kblk(3), Kblk(7), Kblk(10)], axis=0)
+        UK = mm(U, K_B)                               # [P, Cout]
+        rowR = mm(sel_rmod, R_col)                    # [N2, 1] = R[y]
+        Z = Z + mm(sel_rdiv * rowR, UK)
+
+        # Group C: cases 5, 14, 15, 18 (Ap (x) scalar channel maps)
+        t_cat = jnp.concatenate([T_full, s14, s15, t18], axis=1)
+        K_C = jnp.concatenate([Kblk(4), Kblk(13), Kblk(14), Kblk(17)],
+                              axis=0)
+        tK = mm(t_cat, K_C)                           # [1, Cout]
+        Gsel = mm(sel_rdiv, Ap)                       # [N2, P]
+        Ap_flat = mm(Gsel * sel_rmod, onesP)          # [N2, 1] = Ap[x, y]
+        Z = Z + mm(Ap_flat, tK)
+
+        # Group D: cases 6, 9, 10, 12, 13, 16, 17
+        E9 = _tile_concat(Ap, P, P) * blockdiag
+        E12 = _tile_concat(mm(Ap, Sexp), P, 1) * crossdiag
+        M9 = mm(E9, T_ab)
+        M12 = mm(E12, T_ab)
+        M13 = mm(E9, T_bc)
+        M16 = mm(E9, D_bc)
+        M17 = mm(E9, W17)
+        M = jnp.concatenate([M6, M9, M10, M12, M13, M16, M17], axis=1)
+        K_D = jnp.concatenate(
+            [Kblk(k) for k in (5, 8, 9, 11, 12, 15, 16)], axis=0)
+        Z = Z + mm(M, K_D)
+
+        # bias + LeakyReLU
+        Z = Z + b_ref[...].astype(f32)
+        Z = jnp.where(Z > 0, Z, negslope * Z)
+        out_ref[0] = Z.astype(out_ref.dtype)
+
+
+def risi18_level_fused_raw(state_cm, nbr, xsel, radj, K, b,
+                           negslope=0.01, chunk=8, interpret=False,
+                           precision=None):
+    """Fused SMP level step.  Returns [V, P*P, Cout] (rows (p1 p2)).
+
+    state_cm: [V+1, P+1, C*(P+1)]  previous level state, CHANNEL-MAJOR
+              ([v, q1, c*(P+1)+q2] = state[v, q1, q2, c]), spatially
+              zero-padded, with a zero row at vertex index V (the
+              neighbor-id sentinel).
+    nbr:      [V, P] int32 neighbor ids (sentinel V).
+    xsel:     [V, P*P, P+1] one-hot position selectors (all-zero rows at
+              absent slots; sentinel position P selects the zero pad).
+    radj:     [V, P, P] float32 reduced adjacency.
+    K:        [18C, Cout];  b: [Cout].
+    """
+    V, P = nbr.shape
+    C = state_cm.shape[2] // (P + 1)
+    Cout = K.shape[1]
+    N2 = P * P
+    dt = state_cm.dtype
+    # chunk size: largest power-of-two divisor of C, capped at `chunk`
+    G = 1
+    while G * 2 <= chunk and C % (G * 2) == 0:
+        G *= 2
+    consts = _consts(P, C)
+    const_args = [jnp.asarray(consts[n]) for n in _CONST_NAMES]
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda v, i, nref: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(V, P),
+        in_specs=[
+            pl.BlockSpec((1, P + 1, C * (P + 1)),
+                         lambda v, i, nref: (nref[v * P + i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P * P, P + 1),
+                         lambda v, i, nref: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, P), lambda v, i, nref: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
+            fixed((18 * C, Cout)),
+            fixed((1, Cout)),
+        ] + [fixed(consts[n].shape) for n in _CONST_NAMES],
+        out_specs=pl.BlockSpec((1, N2, Cout), lambda v, i, nref: (v, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((P, P * C), jnp.float32),   # acc   [b, (c p2)]
+            pltpu.VMEM((P, P * C), jnp.float32),   # accR
+            pltpu.VMEM((N2, C), jnp.float32),      # rowsum  (T_ab)
+            pltpu.VMEM((N2, C), jnp.float32),      # rowsumR (M6)
+            pltpu.VMEM((N2, C), jnp.float32),      # diag    (D_bc)
+            pltpu.VMEM((N2, C), jnp.float32),      # coli    (V_ac)
+        ],
+    )
+
+    if precision is None:
+        # DEFAULT matches the precision the XLA einsum path uses on TPU
+        # (bf16-level MXU passes) at ~2x the speed of HIGHEST; pass
+        # precision=jax.lax.Precision.HIGHEST for strict-f32 accumulation.
+        precision = jax.lax.Precision.DEFAULT
+    kernel = functools.partial(_kernel, P=P, C=C, G=G, Cout=Cout,
+                               negslope=negslope, precision=precision)
+    flops = 2 * V * P * (P * (P + 1) * (P + 1) * C      # row align
+                         + (C // G) * P * G * G * (P + 1) * P   # col align
+                         + P * P * C * 4 * C)           # primitives
+    flops += 2 * V * N2 * (11 * C * Cout + 2 * N2 * C)  # assembly
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((V, N2, Cout), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=V * P * (P + 1) * (P + 1) * C * dt.itemsize
+            + V * N2 * Cout * dt.itemsize,
+            transcendentals=0,
+        ),
+    )(nbr.reshape(V * P), state_cm, xsel, radj, K,
+      b.reshape(1, Cout), *const_args)
+    return out
+
+
+def pack_state_cm(state, vmask=None):
+    """[V, P, P, C] level state -> [V+1, P+1, C*(P+1)] channel-major
+    padded input for the fused kernel (one cheap XLA transpose)."""
+    V, P, _, C = state.shape
+    sp = jnp.pad(state, ((0, 1), (0, 1), (0, 1), (0, 0)))  # [V+1,P+1,P+1,C]
+    return sp.transpose(0, 1, 3, 2).reshape(V + 1, P + 1, C * (P + 1))
+
+
+def build_xsel(pos, dtype=jnp.float32):
+    """[V, P, P] int position maps -> [V, P*P, P+1] one-hot selectors
+    (one [(slot, p1), q] block per vertex)."""
+    V, P, _ = pos.shape
+    sel = (pos[..., None] == jnp.arange(P + 1)).astype(dtype)
+    return sel.reshape(V, P * P, P + 1)
+
+
+# ----------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward, einsum-composition backward.
+# ----------------------------------------------------------------------
+
+def _reference_level(state, nbr, pos, radj, K, b, negslope=0.01):
+    """The exact same level step composed from XLA ops (for VJP/tests)."""
+    from graphflow_tpu.models.smp2d import _gather_neighbor_tensors
+    from graphflow_tpu.ops.contractions import risi_contraction_18
+
+    V, P, _, C = state.shape
+    state_pad = jnp.pad(state, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    T = _gather_neighbor_tensors(state_pad, nbr, pos)
+    Y = jax.vmap(risi_contraction_18)(T, radj)
+    Z = Y.reshape(V, P * P, 18 * C) @ K + b[None, None, :]
+    return jnp.where(Z > 0, Z, negslope * Z)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def risi18_level(state, nbr, pos, radj, K, b, negslope=0.01):
+    """Differentiable fused level step: [V,P,P,C] state -> [V, P*P, Cout].
+
+    Pallas forward (gather-fused, single HBM pass), exact XLA-composition
+    backward.  nbr/pos/radj are non-differentiable graph structure.
+    """
+    state_cm = pack_state_cm(state)
+    xsel = build_xsel(pos, state.dtype)
+    return risi18_level_fused_raw(state_cm, nbr, xsel,
+                                  radj.astype(jnp.float32), K, b,
+                                  negslope=negslope)
+
+
+def _fwd(state, nbr, pos, radj, K, b, negslope):
+    return risi18_level(state, nbr, pos, radj, K, b, negslope), (
+        state, nbr, pos, radj, K, b)
+
+
+def _bwd(negslope, res, g):
+    state, nbr, pos, radj, K, b = res
+    _, vjp = jax.vjp(
+        lambda s, k, bb: _reference_level(s, nbr, pos, radj, k, bb,
+                                          negslope), state, K, b)
+    ds, dK, db = vjp(g)
+    return ds, None, None, None, dK, db
+
+
+risi18_level.defvjp(_fwd, _bwd)

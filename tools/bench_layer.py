@@ -48,6 +48,17 @@ def layer_pallas(state, nbr, pos, adj, K):
     return jnp.where(Z > 0, Z, 0.01 * Z)
 
 
+def layer_fused(state, nbr, pos, adj, K):
+    from graphflow_tpu.ops import risi_fused_pallas as rf
+
+    V, P, _, C = state.shape
+    b = jnp.zeros((K.shape[1],), state.dtype)
+    Z = rf.risi18_level_fused_raw(rf.pack_state_cm(state), nbr,
+                                  rf.build_xsel(pos, state.dtype),
+                                  adj.astype(jnp.float32), K, b)
+    return Z.reshape(V, P, P, -1)
+
+
 def time_layer(fn, args, chain_len=17, reps=5):
     state = args[0]
 
@@ -85,7 +96,8 @@ def main():
     for dtype, name in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
         args = make_inputs(V, P, C, dtype)
         for fn, label in ((layer_xla, "xla_einsum"),
-                          (layer_pallas, "pallas_bank")):
+                          (layer_pallas, "pallas_bank"),
+                          (layer_fused, "pallas_fused_level")):
             try:
                 secs = time_layer(fn, args)
                 print(f"{label:24s} {name}: {secs * 1e3:8.3f} ms/layer")
