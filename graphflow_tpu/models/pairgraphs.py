@@ -184,10 +184,10 @@ class SMPPairGraphs(PairGraphModel):
     def _prepare_2(self, graph):
         return self._prepare_cfg(graph, self.cfg2)
 
-    def _forward(self, params, g1, g2, case_mask=None):
+    def _forward(self, params, g1, g2, case_mask=None, training=False):
         if self.order == 2:
             feats_fn = lambda p, g, c: smp2d_level_features(
-                p, g, c, case_mask=case_mask)
+                p, g, c, case_mask=case_mask, training=training)
         else:
             feats_fn = smp1d_level_features
         f1 = feats_fn(params["tower1"], g1, self.cfg1)   # [(L+1), C]
@@ -200,7 +200,8 @@ class SMPPairGraphs(PairGraphModel):
 
     def _loss(self, params, g1, g2, target, case_mask=None):
         return losses.squared_loss(
-            self._forward(params, g1, g2, case_mask=case_mask), target)
+            self._forward(params, g1, g2, case_mask=case_mask,
+                          training=True), target)
 
 
 def SMP_omega_pairgraphs(max_nVertices_1, max_nVertices_2,

@@ -139,12 +139,17 @@ def _gather_neighbor_tensors(state_pad, nbr, pos):
     return ein("visr,viprc->vipsc", Xsel, T).astype(dt)     # column alignment
 
 
-def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None):
+def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None,
+                 training=False):
     """Run the tower, returning the per-level vertex tensor states
     (list of [V, P, P, C], levels 0..nLevels).
 
     ``case_mask`` ([nContractions] multiplier) enables the sigma variant's
-    per-case contraction dropout (RisiContraction_18_dropout.h)."""
+    per-case contraction dropout (RisiContraction_18_dropout.h).
+    ``training=True`` routes around the fused Pallas kernel: its custom
+    VJP re-runs the XLA forward inside the backward, so for grad-taking
+    callers the plain XLA composition is the faster complete step
+    (measured 13.8 vs 19.6 ms fwd+bwd at production shapes)."""
     contract_fn, nCon = _CONTRACTIONS[cfg.contraction]
     # V from the data (shape-polymorphic for bucketed batching); P/C static.
     V, P, C = g["vmask"].shape[0], cfg.P, cfg.nChanels
@@ -159,7 +164,8 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None):
     if use_fused is None:
         dev = jax.config.jax_default_device
         platform = dev.platform if dev is not None else jax.default_backend()
-        use_fused = (cfg.contraction == 18 and case_mask is None
+        use_fused = (not training
+                     and cfg.contraction == 18 and case_mask is None
                      and platform in ("tpu", "axon")
                      and jnp.dtype(cfg.dtype) in (jnp.dtype(jnp.float32),
                                                   jnp.dtype(jnp.bfloat16)))
@@ -197,20 +203,22 @@ def _graph_feature(state, vmask):
     return (vertex * vmask[:, None]).sum(axis=0)                # [C]
 
 
-def smp2d_level_features(params, g, cfg: SMP2DConfig, case_mask=None):
+def smp2d_level_features(params, g, cfg: SMP2DConfig, case_mask=None,
+                         training=False):
     """Per-level graph features (the pairgraph towers collect these at every
     level, SMP_omega_pairgraphs.h:640-654). Returns [(nLevels+1), C]."""
-    states = smp2d_states(params, g, cfg, case_mask=case_mask)
+    states = smp2d_states(params, g, cfg, case_mask=case_mask,
+                          training=training)
     return jnp.stack([_graph_feature(s, g["vmask"]) for s in states])
 
 
-def smp2d_forward(params, g, cfg: SMP2DConfig):
+def smp2d_forward(params, g, cfg: SMP2DConfig, training=False):
     """Pure forward for one prepared graph. Returns (prediction, graph_feat).
 
     ``g`` is one element of a stacked GraphBatch (dict of arrays without the
     batch axis).
     """
-    states = smp2d_states(params, g, cfg)
+    states = smp2d_states(params, g, cfg, training=training)
     graph_feat = _graph_feature(states[-1], g["vmask"])
     if cfg.nClasses:
         scores = params["W"] @ graph_feat                       # [nClasses]
@@ -246,7 +254,7 @@ class SMP2D(GraphModel):
         return smp2d_forward(params, g, self.cfg)
 
     def _loss(self, params, g, target):
-        out, _ = smp2d_forward(params, g, self.cfg)
+        out, _ = smp2d_forward(params, g, self.cfg, training=True)
         if self.cfg.nClasses:
             return losses.log_loss(out, target.astype(jnp.int32))
         return losses.squared_loss(out, target)
