@@ -26,6 +26,7 @@ from graphflow_tpu.models.mlp import MLP, CNN
 from graphflow_tpu.models.smp2d_steerable import (
     SMP2DSteerable, SMP2DSteerableConfig, SMP_2D, SMP_2D_classification,
     SMP_2D_ver2, SMP_2D_ver3, SMP_2D_ver4, SMP_2D_ver5, Unrestricted_SMP_2D,
+    Unrestricted_SMP_2D_ver2,
 )
 from graphflow_tpu.models.smp2d import (
     SMP_beta_physics, SMP_gamma_physics, SMP_2D_ver6_classification,

@@ -17,6 +17,10 @@ Covers the reference models that predate the contraction banks:
       K (C x 2C) (CustomMatMulTensor).
   Unrestricted_SMP_2D (``Unrestricted_SMP_2D.h:99-124``): a full learned
       W[s] in R^{s x s x C} applied by TensorMul.
+  Unrestricted_SMP_2D_ver2 (``Unrestricted_SMP_2D_ver2.h:102-137``):
+      channel growth C_l = 2 C_{l-1} with a full 4-D filter
+      W[s] in R^{s x s x prevC x C} applied by Tensor4DTensor3DMul
+      (out[p,q,d] = SUM_{k,c} W[p,k,c,d] q[k,q,c]).
 
 The steerable structure lets every filter apply collapse to closed forms —
 W[s] (*) q = lambda1 (.) q + lambda2 (.) (rowsum broadcast) — so no dense
@@ -62,8 +66,9 @@ class SMP2DSteerableConfig:
         return self.nFeatures * (self.nDepth + 1)
 
     def channels_at(self, l: int) -> int:
-        """ver2/ver3 double channels per level (SMP_2D_ver2.h:131)."""
-        if self.filter == "matrix":
+        """ver2/ver3 double channels per level (SMP_2D_ver2.h:131);
+        Unrestricted ver2 likewise (Unrestricted_SMP_2D_ver2.h:102-104)."""
+        if self.filter in ("matrix", "unrestricted4d"):
             return self.nChanels * (2 ** l)
         return self.nChanels
 
@@ -90,6 +95,9 @@ def init_params(key, cfg: SMP2DSteerableConfig):
         if cfg.filter == "unrestricted":
             lev["Wf"] = uniform_init(next(keys), (V1, cfg.P, cfg.P, C),
                                      dtype, fan=cfg.P)
+        elif cfg.filter == "unrestricted4d":
+            lev["Wf"] = uniform_init(
+                next(keys), (V1, cfg.P, cfg.P, C_prev, C), dtype, fan=cfg.P)
         elif cfg.filter == "matrix":
             lev["lambda1"] = uniform_init(next(keys), (V1, C_prev, C_prev),
                                           dtype, fan=C_prev)
@@ -179,6 +187,12 @@ def forward(params, g, cfg: SMP2DSteerableConfig):
             Wv = lev["Wf"][s]                                  # [V, Pp, Pp, C]
             Wv = Wv * g["smask"][l + 1][:, :, :, None]
             z = jnp.einsum("vpqc,vqrc->vprc", Wv, q)
+        elif cfg.filter == "unrestricted4d":
+            # Tensor4DTensor3DMul.h:49-71: out[p,q,d] = SUM_kc W[p,k,c,d]
+            # q[k,q,c]; W[s] grows channels prevC -> C.
+            Wv = lev["Wf"][s]                            # [V, Pp, Pp, Cp, C]
+            Wv = Wv * g["smask"][l + 1][:, :, :, None, None]
+            z = jnp.einsum("vpkcd,vkqc->vpqd", Wv, q)
         else:
             raise ValueError(cfg.filter)
 
@@ -270,3 +284,11 @@ def Unrestricted_SMP_2D(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
     return SMP2DSteerable(SMP2DSteerableConfig(
         max_nVertices, nLevels, nChanels, nFeatures, nDepth,
         filter="unrestricted", momentum_param=momentum_param), seed)
+
+
+def Unrestricted_SMP_2D_ver2(max_nVertices, nLevels, nChanels, nFeatures,
+                             nDepth, momentum_param=0.9, seed=0):
+    """``Unrestricted_SMP_2D_ver2.h``: 4-D W[s] filters, channel growth."""
+    return SMP2DSteerable(SMP2DSteerableConfig(
+        max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+        filter="unrestricted4d", momentum_param=momentum_param), seed)

@@ -5,7 +5,7 @@ import pytest
 
 from graphflow_tpu.models.smp2d_steerable import (
     SMP_2D, SMP_2D_classification, SMP_2D_ver2, SMP_2D_ver4,
-    Unrestricted_SMP_2D,
+    Unrestricted_SMP_2D, Unrestricted_SMP_2D_ver2,
 )
 from tests.molecules import all_molecules
 
@@ -34,6 +34,21 @@ def test_steerable_2d_converges(ctor, kwargs, frac, molecules):
         _, l1 = m.BatchLearn(graphs, targets, 0.001)
     assert np.isfinite(l1)
     assert l1 < frac * l0, (l0, l1)
+
+
+def test_unrestricted_ver2_converges_and_grows_channels(molecules):
+    """Unrestricted_SMP_2D_ver2.h:102-137: 4-D W[s], channels double."""
+    graphs, targets = molecules
+    m = Unrestricted_SMP_2D_ver2(max_nVertices=10, nLevels=2, nChanels=4,
+                                 nFeatures=4, nDepth=3)
+    assert m.params["W"].shape == (4 * 2 ** 2,)
+    assert m.params["levels"][0]["Wf"].shape[1:] == (10, 10, 4, 8)
+    assert m.params["levels"][1]["Wf"].shape[1:] == (10, 10, 8, 16)
+    l0 = m.getLoss(graphs, targets)
+    for _ in range(120):
+        _, l1 = m.BatchLearn(graphs, targets, 0.001)
+    assert np.isfinite(l1)
+    assert l1 < 0.5 * l0, (l0, l1)
 
 
 def test_ver2_channel_growth(molecules):
