@@ -9,11 +9,18 @@ reduction/diagonal/case-map on chip, and writes only the final
 
 Mosaic (TPU Pallas) supports a restricted op set — no gathers, no
 minor-dim-splitting reshapes, 2-D matmuls only (probed empirically).  The
-kernel therefore works in TWO fixed 2-D layouts of T prepared by the host:
+kernel works in ONE fixed 2-D layout of T (a free reshape on the host):
 
-    X_ab [(a b), (c f)]   and   X_bc [(b c), (a f)]
+    X_ab [(a b), (c f)]
 
-with every reduction expressed as (mask (*) X) @ S for CONSTANT
+Quantities that naturally live in the transposed [(b c), (a f)] layout
+(cases 3/10/13/17) are derived IN-KERNEL from X_ab by constant row-select
++ column-mask matmuls, so T crosses HBM exactly once (the earlier
+two-layout variant paid a full extra read *and* an XLA transpose
+materialization of T — dominant at these shapes since the layer is
+HBM-bound, docs/KERNEL_NOTES.md).
+
+Every reduction is expressed as (mask (*) X) @ S for CONSTANT
 selector/mask matrices (built host-side once and passed as resident VMEM
 operands, keeping Mosaic compile time sane), and the adjacency-contracted
 case maps as matmuls with Kronecker-structured matrices tiled from A' by
