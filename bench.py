@@ -29,17 +29,14 @@ def layer_flops(B, P, C, n_cases=18):
 
 
 def smp_layer(T, A, K, b):
-    import jax
     import jax.numpy as jnp
-    from graphflow_tpu.ops.contractions import risi_contraction_18
+    from graphflow_tpu.ops.risi_pallas import risi18_matmul_pallas
 
-    def per_vertex(t, a):
-        y = risi_contraction_18(t, a)
-        P = t.shape[0]
-        z = y.reshape(P * P, -1) @ K + b[None, :]
-        return jnp.where(z > 0, z, 0.01 * z)
-
-    return jax.vmap(per_vertex)(T, A)
+    # Single-pass one-layout Pallas kernel (fastest bank path measured:
+    # 1.85 ms vs 2.12 ms XLA einsum at these shapes, docs/KERNEL_NOTES.md);
+    # parity-tested against the brute-force spec and the reference binary.
+    z = risi18_matmul_pallas(T, A, K) + b[None, None, :]
+    return jnp.where(z > 0, z, 0.01 * z)
 
 
 def run(device, B=256, P=16, C=32, chain_len=33, reps=5):

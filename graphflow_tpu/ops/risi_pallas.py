@@ -104,16 +104,17 @@ def _tile_concat(x, times_rows: int, times_cols: int):
     return dbl(dbl(x, times_rows, 0), times_cols, 1)
 
 
-def _kernel(Xab_ref, Xbc_ref, A_ref, K_ref,
+def _kernel(Xab_ref, A_ref, K_ref,
             S_ref, Sa_ref, Sb_ref, sel_rdiv_ref, sel_rmod_ref,
             blockdiag_ref, crossdiag_ref, mask_cb_ref, mask_ca_ref,
             dmask_row_ref, Srep_ref, Sexp_ref,
             out_ref, *, P, C, Cout):
     f32 = jnp.float32
-    Xab = Xab_ref[0]
-    Xbc = Xbc_ref[0]
+    # Upcast once in VMEM: all in-kernel math runs f32 (DEFAULT-precision
+    # MXU passes are bf16-rate anyway); bf16 inputs still halve HBM traffic.
+    Xab = Xab_ref[0].astype(f32)
     A = A_ref[0]
-    K = K_ref[...]
+    K = K_ref[...].astype(f32)
     S, Sa, Sb = S_ref[...], Sa_ref[...], Sb_ref[...]
     sel_rdiv, sel_rmod = sel_rdiv_ref[...], sel_rmod_ref[...]
     blockdiag, crossdiag = blockdiag_ref[...], crossdiag_ref[...]
@@ -138,11 +139,19 @@ def _kernel(Xab_ref, Xbc_ref, A_ref, K_ref,
     Rcol_weights = mm(R_row, Srep)                  # [1, PC]: R[q//C]
 
     # ---- T reductions (rows already in (x y) output order) --------------
+    # Everything below reads ONLY the X_ab layout; [(b c), f]-ordered
+    # quantities are derived via constant row-select/row-swap matmuls.
     T_ab = mm(Xab, S)                               # [(a b), f]
-    T_bc = mm(Xbc, S)                               # [(b c), f]
     D_bc = mm(Xab * mask_cb, S)                     # T[a,b,b,f]  (= W16)
     V_ac = mm(Xab * mask_ca, S)                     # T[a,b,a,f]
-    W17 = mm(Xbc * mask_cb, S)                      # T[c,b,c,f] rows (b c=e)
+
+    def bc_rows(Y):
+        # Y [P, PC] with Y[b, (c f)]  ->  [(b c), f]
+        return mm(mm(sel_rdiv, Y) * mask_cb, S)
+
+    T_bc = bc_rows(mm(Sb, Xab))                     # [(b c), f] = sum_a T
+    rowswap = crossdiag * crossdiag.T               # [N2,N2]: (b c)<-(c b)
+    W17 = mm(rowswap, V_ac)                         # T[c,b,c,f] rows (b c=e)
     T_a = mm(Sa, T_ab)                              # [P, C]
     T_b = mm(Sb, T_ab)
     Tdiag_bc_a = mm(Sa, D_bc)
@@ -176,7 +185,8 @@ def _kernel(Xab_ref, Xbc_ref, A_ref, K_ref,
 
     # ---- Group D: cases 6, 9, 10, 12, 13, 16, 17 ------------------------
     M6 = mm(Xab * Rcol_weights, S)                  # [(a b), f]
-    M10 = mm(Xbc * Rcol_weights, S)                 # [(b c), f]
+    rowRa = mm(sel_rdiv, R_col)                     # [N2, 1] = R[r//P] = R[a]
+    M10 = bc_rows(mm(Sb, Xab * rowRa))              # sum_a R[a] T[a,b,c,f]
     E9 = _tile_concat(Ap, P, P) * blockdiag         # kron(I, Ap)
     E12 = _tile_concat(mm(Ap, Sexp), P, 1) * crossdiag
     M9 = mm(E9, T_ab)
@@ -200,8 +210,9 @@ def risi18_matmul_pallas(T, A, K):
     B, P = T.shape[0], T.shape[1]
     C, Cout = T.shape[4], K.shape[1]
     N2, PC = P * P, P * C
+    # Mosaic can't vector-compare bf16 (the A > 0 guard); A is tiny, keep f32.
+    A = A.astype(jnp.float32)
     X_ab = T.reshape(B, N2, PC)
-    X_bc = T.transpose(0, 2, 3, 1, 4).reshape(B, N2, PC)
     consts = _constants(P, C)
     const_args = [jnp.asarray(consts[n]) for n in _CONST_NAMES]
 
@@ -212,8 +223,6 @@ def risi18_matmul_pallas(T, A, K):
     grid_spec = pl.GridSpec(
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, N2, PC), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N2, PC), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, P), lambda i: (i, 0, 0),
@@ -231,11 +240,11 @@ def risi18_matmul_pallas(T, A, K):
         out_shape=jax.ShapeDtypeStruct((B, N2, Cout), T.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N2 * (6 * PC + 11 * C * Cout + 2 * N2 * C),
-            bytes_accessed=2 * T.nbytes + A.nbytes + K.nbytes
+            bytes_accessed=T.nbytes + A.nbytes + K.nbytes
             + B * N2 * Cout * 4,
             transcendentals=0,
         ),
-    )(X_ab, X_bc, A, K, *const_args)
+    )(X_ab, A, K, *const_args)
     return out.reshape(B, P, P, Cout)
 
 
