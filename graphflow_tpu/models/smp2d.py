@@ -116,27 +116,74 @@ def _gather_neighbor_tensors(state_pad, nbr, pos):
     T[v, i, p1, p2] = f_{w_i}[pos[v,i,p1], pos[v,i,p2]] with absent
     vertices/slots contributing exact zeros.
 
-    Implemented as one-hot MATMULS rather than gathers: XLA's TPU lowering
-    of take_along_axis here is ~25x slower than the equivalent MXU matmul
-    chain (measured 57 ms vs 2.5 ms at V=256, P=16, C=32), and every output
-    element sums exactly one 1.0*x product, so the result is bit-exact.
-    The sentinel ids fall outside the iota ranges, giving all-zero selector
-    rows — absent neighbors contribute exact zeros without a pad row.
+    Two formulations, A/B-tested on-chip in one session at V=256 P=16
+    C=32 (tools/bench_train_step.py; both bit-exact — every output
+    element is one selected value):
+
+      "take" (default): ONE flat row-gather — neighbor id and the p1
+        position fold into a single row index over the
+        [(V+1)(P+1), (P+1)C] view (q1-sentinel rows and an appended zero
+        vertex row make absent slots exact zeros) — plus one small einsum
+        for the p2 side.  Flat ROW gathers lower well on TPU (1.49 ms fwd
+        vs 2.76; it is multi-axis take_along_axis that hits the 25x-slow
+        path, docs/KERNEL_NOTES.md); XLA's native take adjoint (scatter)
+        also wins at bf16 (train level 9.8 vs 11.5 ms).
+
+      "onehot": gather + both alignments as one-hot MXU matmuls
+        (round-1 design; marginally better f32 fwd+bwd in the pure-XLA
+        composition, 14.8 vs 15.8 ms).
+
+    A hand-written two-stage scatter-add VJP was also tried and LOST to
+    both (17.6 ms train level) — XLA's own take/matmul transposes fuse
+    better than the manual composition.
     """
+    return _GATHER_IMPLS[_GATHER_DEFAULT](state_pad, nbr, pos)
+
+
+def _gather_neighbor_tensors_onehot(state_pad, nbr, pos):
+    """All-one-hot-matmul formulation (round 1): gather + both alignments
+    as MXU matmuls.  Autodiff adjoint = transposed matmuls."""
     V = state_pad.shape[0]
     dt = state_pad.dtype
-    # f32 accumulation: free exactness (each output sums ONE product) and,
-    # for bf16 states, hits the native MXU bf16xbf16->f32 path (6x faster
-    # than plain bf16 einsum, measured).
-    ein = functools.partial(
-        jnp.einsum,
-        preferred_element_type=jnp.promote_types(dt, jnp.float32))
+    ein = _ein(dt)
     onehot = (nbr[..., None] == jnp.arange(V)).astype(dt)          # [V, P, V]
     Fn = ein("vim,mqrc->viqrc", onehot, state_pad).astype(dt)
     Xsel = (pos[..., None]
             == jnp.arange(state_pad.shape[1])).astype(dt)      # [V,P,P,P+1]
     T = ein("vipq,viqrc->viprc", Xsel, Fn).astype(dt)       # row alignment
     return ein("visr,viprc->vipsc", Xsel, T).astype(dt)     # column alignment
+
+
+def _ein(dt):
+    # f32 accumulation: free exactness (each output sums ONE product) and,
+    # for bf16 states, hits the native MXU bf16xbf16->f32 path.
+    return functools.partial(
+        jnp.einsum,
+        preferred_element_type=jnp.promote_types(dt, jnp.float32))
+
+
+
+def _gather_neighbor_tensors_take(state_pad, nbr, pos):
+    """Flat-take formulation with XLA's native take adjoint (scatter)."""
+    V, Q = state_pad.shape[0], state_pad.shape[1]
+    P = nbr.shape[1]
+    C = state_pad.shape[3]
+    dt = state_pad.dtype
+    src = jnp.concatenate(
+        [state_pad.reshape(V * Q, Q * C),
+         jnp.zeros((Q, Q * C), dt)], axis=0)
+    rows = nbr[:, :, None] * Q + pos
+    Ar = jnp.take(src, rows.reshape(-1), axis=0).reshape(V, P, P, Q, C)
+    Xsel = (pos[..., None] == jnp.arange(Q)).astype(dt)
+    return _ein(dt)("vabqc,vapq->vabpc", Ar, Xsel).astype(dt)
+
+
+_GATHER_IMPLS = {
+    "onehot": _gather_neighbor_tensors_onehot,
+    "take": _gather_neighbor_tensors_take,
+}
+# Default picked by single-session A/B on the TPU (tools/bench_train_step.py)
+_GATHER_DEFAULT = "take"
 
 
 def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None,
@@ -146,10 +193,12 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None,
 
     ``case_mask`` ([nContractions] multiplier) enables the sigma variant's
     per-case contraction dropout (RisiContraction_18_dropout.h).
-    ``training=True`` routes around the fused Pallas kernel: its custom
-    VJP re-runs the XLA forward inside the backward, so for grad-taking
-    callers the plain XLA composition is the faster complete step
-    (measured 13.8 vs 19.6 ms fwd+bwd at production shapes)."""
+    ``training=True`` routes around the gather-fused inference kernel
+    (its custom VJP re-runs the XLA forward inside the backward) and
+    instead uses the XLA gather + the Pallas bank with its mirrored
+    Pallas backward (``ops.risi_pallas.risi18_bank_train``): measured
+    12.1 vs 14.3 (XLA) vs 19.4 (fused+recompute) ms fwd+bwd per level at
+    production shapes (tools/bench_train_step.py)."""
     contract_fn, nCon = _CONTRACTIONS[cfg.contraction]
     # V from the data (shape-polymorphic for bucketed batching); P/C static.
     V, P, C = g["vmask"].shape[0], cfg.P, cfg.nChanels
@@ -161,14 +210,16 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None,
     states = [state]
 
     use_fused = cfg.use_fused_kernel
+    use_bank_train = False
     if use_fused is None:
         dev = jax.config.jax_default_device
         platform = dev.platform if dev is not None else jax.default_backend()
-        use_fused = (not training
-                     and cfg.contraction == 18 and case_mask is None
+        pallas_ok = (cfg.contraction == 18 and case_mask is None
                      and platform in ("tpu", "axon")
                      and jnp.dtype(cfg.dtype) in (jnp.dtype(jnp.float32),
                                                   jnp.dtype(jnp.bfloat16)))
+        use_fused = pallas_ok and not training
+        use_bank_train = pallas_ok and training
 
     for l in range(cfg.nLevels):
         Kl, bl = params["levels"][l]["K"], params["levels"][l]["b"]
@@ -181,6 +232,14 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None,
             continue
         state_pad = jnp.pad(state, ((0, 0), (0, 1), (0, 1), (0, 0)))
         T = _gather_neighbor_tensors(state_pad, g["nbr"][l], g["pos"][l])
+        if use_bank_train:
+            from graphflow_tpu.ops.risi_pallas import risi18_bank_train
+            Z = (risi18_bank_train(T, g["radj"][l], Kl).reshape(V, P * P, C)
+                 + bl[None, None, :])
+            state = activations.leaky_relu(Z).reshape(V, P, P, C)
+            state = state * g["smask"][l + 1][:, :, :, None]
+            states.append(state)
+            continue
         if cfg.contraction == 4:
             Y = jax.vmap(contract_fn)(T)                        # no adjacency
         else:

@@ -387,7 +387,10 @@ def _reference_level(state, nbr, pos, radj, K, b, negslope=0.01):
     T = _gather_neighbor_tensors(state_pad, nbr, pos)
     Y = jax.vmap(risi_contraction_18)(T, radj)
     Z = Y.reshape(V, P * P, 18 * C) @ K + b[None, None, :]
-    return jnp.where(Z > 0, Z, negslope * Z)
+    # Cast to the state dtype: for bf16 states the f32-accumulating
+    # contraction promotes Z, but the Pallas forward emits state.dtype —
+    # the custom_vjp cotangent dtypes must agree.
+    return jnp.where(Z > 0, Z, negslope * Z).astype(state.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))

@@ -249,6 +249,251 @@ def risi18_matmul_pallas(T, A, K):
 
 
 # ----------------------------------------------------------------------
+# Backward kernel: dT and dK in one pass (the bank is linear in T).
+# ----------------------------------------------------------------------
+
+def _bwd_kernel(Xab_ref, A_ref, K_ref, g_ref,
+                S_ref, Sa_ref, Sb_ref, sel_rdiv_ref, sel_rmod_ref,
+                blockdiag_ref, crossdiag_ref, mask_cb_ref, mask_ca_ref,
+                dmask_row_ref, Srep_ref, Sexp_ref,
+                dX_ref, dK_ref, *, P, C, Cout):
+    """Adjoint of ``_kernel``: given the cotangent g = dZ [(x y), Cout],
+    emit dX_ab [(a b), (c f)] and accumulate dK [18C, Cout] across the
+    sequential TPU grid (dK needs the forward T-reductions, recomputed
+    here from the single X_ab read — T still crosses HBM once per pass).
+    """
+    f32 = jnp.float32
+    bidx = pl.program_id(0)
+    Xab = Xab_ref[0].astype(f32)
+    A = A_ref[0]
+    K = K_ref[...].astype(f32)
+    g = g_ref[0].astype(f32)                        # [N2, Cout]
+    S, Sa, Sb = S_ref[...], Sa_ref[...], Sb_ref[...]
+    sel_rdiv, sel_rmod = sel_rdiv_ref[...], sel_rmod_ref[...]
+    blockdiag, crossdiag = blockdiag_ref[...], crossdiag_ref[...]
+    mask_cb, mask_ca = mask_cb_ref[...], mask_ca_ref[...]
+    dmask_row, Srep, Sexp = dmask_row_ref[...], Srep_ref[...], Sexp_ref[...]
+
+    def mm(x, y):
+        return jnp.dot(x, y, preferred_element_type=f32)
+
+    N2 = P * P
+    ones_row = jnp.ones((1, N2), f32)
+    ones_col = jnp.ones((N2, 1), f32)
+    ones_colP = jnp.ones((P, 1), f32)
+
+    # ---- adjacency quantities (as forward) -------------------------------
+    Ap = jnp.where(A > 0, A, jnp.zeros_like(A))
+    S_adj = jnp.sum(Ap)
+    eyeP = (jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)).astype(f32)
+    trA = jnp.sum(Ap * eyeP)
+    R_col = mm(Ap, ones_colP)
+    Rcol_weights = mm(R_col.T, Srep)                # [1, PC]: R[q//C]
+    rowR = mm(sel_rmod, R_col)                      # [N2, 1] = R[r%P]
+    rowRa = mm(sel_rdiv, R_col)                     # [N2, 1] = R[r//P]
+    Gsel = mm(sel_rdiv, Ap)
+    Ap_flat = mm(Gsel * sel_rmod, ones_colP)        # [N2, 1] = Ap[x, y]
+    E9 = _tile_concat(Ap, P, P) * blockdiag
+    E12 = _tile_concat(mm(Ap, Sexp), P, 1) * crossdiag
+    rowswap = crossdiag * crossdiag.T               # involution: symmetric
+
+    def bc_rows(Y):
+        return mm(mm(sel_rdiv, Y) * mask_cb, S)
+
+    def bc_rows_adj(M):                             # [N2, C] -> [P, PC]
+        return mm(sel_rdiv.T, mm(M, S.T) * mask_cb)
+
+    # ---- forward T-reductions (for dK) ------------------------------------
+    T_ab = mm(Xab, S)
+    D_bc = mm(Xab * mask_cb, S)
+    V_ac = mm(Xab * mask_ca, S)
+    T_bc = bc_rows(mm(Sb, Xab))
+    W17 = mm(rowswap, V_ac)
+    T_a = mm(Sa, T_ab)
+    T_b = mm(Sb, T_ab)
+    Tdiag_bc_a = mm(Sa, D_bc)
+    D_ac_b = mm(Sb, V_ac)
+    T_full = mm(ones_row, T_ab)
+    s14 = mm(mm(ones_row, Xab * dmask_row), S)
+    s15 = mm(ones_row, D_bc)
+    t18 = mm(ones_row, D_bc * dmask_row)
+    M6 = mm(Xab * Rcol_weights, S)
+    M10 = bc_rows(mm(Sb, Xab * rowRa))
+    M9 = mm(E9, T_ab)
+    M12 = mm(E12, T_ab)
+    M13 = mm(E9, T_bc)
+    M16 = mm(E9, D_bc)
+    M17 = mm(E9, W17)
+
+    def Kblk(i):
+        return K[i * C:(i + 1) * C, :]
+
+    # ---- group adjoints (mirror of the forward groups) --------------------
+    # Group A: Z += T_ab (S K1 + trA K7) + T_bc (S K3)
+    KA = S_adj * Kblk(0) + trA * Kblk(6)
+    dT_ab = mm(g, KA.T)
+    dT_bc = S_adj * mm(g, Kblk(2).T)
+    # Group B: Z += (sel_rdiv * rowR) @ (U @ K_B)
+    selR = sel_rdiv * rowR
+    H_B = mm(selR.T, g)                             # [P, Cout]
+    K_B = jnp.concatenate([Kblk(1), Kblk(3), Kblk(7), Kblk(10)], axis=0)
+    dU = mm(H_B, K_B.T)                             # [P, 4C]
+    dT_a, dT_b = dU[:, 0:C], dU[:, C:2 * C]
+    du8, du11 = dU[:, 2 * C:3 * C], dU[:, 3 * C:4 * C]
+    # Group C: Z += Ap_flat @ (t_cat @ K_C)
+    dtK = mm(Ap_flat.T, g)                          # [1, Cout]
+    K_C = jnp.concatenate([Kblk(4), Kblk(13), Kblk(14), Kblk(17)], axis=0)
+    dt = mm(dtK, K_C.T)                             # [1, 4C]
+    dT_full, ds14 = dt[:, 0:C], dt[:, C:2 * C]
+    ds15, dt18 = dt[:, 2 * C:3 * C], dt[:, 3 * C:4 * C]
+    # Group D: Z += M @ K_D
+    K_D = jnp.concatenate(
+        [Kblk(i) for i in (5, 8, 9, 11, 12, 15, 16)], axis=0)
+    dM = mm(g, K_D.T)                               # [N2, 7C]
+    dM6, dM9 = dM[:, 0:C], dM[:, C:2 * C]
+    dM10, dM12 = dM[:, 2 * C:3 * C], dM[:, 3 * C:4 * C]
+    dM13, dM16 = dM[:, 4 * C:5 * C], dM[:, 5 * C:6 * C]
+    dM17 = dM[:, 6 * C:7 * C]
+
+    # ---- accumulate cotangents of the T-reductions ------------------------
+    dT_ab = dT_ab + mm(E9.T, dM9) + mm(E12.T, dM12)
+    dT_ab = dT_ab + mm(Sa.T, dT_a) + mm(Sb.T, dT_b) + mm(ones_col, dT_full)
+    dT_bc = dT_bc + mm(E9.T, dM13)
+    dD_bc = (mm(Sa.T, du8) + mm(ones_col, ds15) + mm(E9.T, dM16)
+             + mm(ones_col, dt18) * dmask_row)
+    dV_ac = mm(Sb.T, du11) + mm(rowswap, mm(E9.T, dM17))
+
+    # ---- fold into dX_ab ---------------------------------------------------
+    dX = mm(dT_ab, S.T)
+    dX = dX + mm(dM6, S.T) * Rcol_weights
+    dX = dX + mm(dD_bc, S.T) * mask_cb
+    dX = dX + mm(dV_ac, S.T) * mask_ca
+    dX = dX + mm(mm(ones_col, ds14), S.T) * dmask_row
+    dX = dX + mm(Sb.T, bc_rows_adj(dT_bc))
+    dX = dX + mm(Sb.T, bc_rows_adj(dM10)) * rowRa
+    dX_ref[0] = dX.astype(dX_ref.dtype)
+
+    # ---- dK: per-case Y^T g from the recomputed reductions ----------------
+    G_ab = mm(T_ab.T, g)                            # [C, Cout]
+    dK1, dK7 = S_adj * G_ab, trA * G_ab
+    dK3 = S_adj * mm(T_bc.T, g)
+    U = jnp.concatenate([T_a, T_b, Tdiag_bc_a, D_ac_b], axis=1)
+    dK_B = mm(U.T, H_B)                             # [4C, Cout]
+    t_cat = jnp.concatenate([T_full, s14, s15, t18], axis=1)
+    dK_C = mm(t_cat.T, dtK)                         # [4C, Cout]
+    M = jnp.concatenate([M6, M9, M10, M12, M13, M16, M17], axis=1)
+    dK_D = mm(M.T, g)                               # [7C, Cout]
+
+    dK_full = jnp.concatenate([
+        dK1,                        # case 1
+        dK_B[0:C],                  # case 2
+        dK3,                        # case 3
+        dK_B[C:2 * C],              # case 4
+        dK_C[0:C],                  # case 5
+        dK_D[0:C],                  # case 6
+        dK7,                        # case 7
+        dK_B[2 * C:3 * C],          # case 8
+        dK_D[C:2 * C],              # case 9
+        dK_D[2 * C:3 * C],          # case 10
+        dK_B[3 * C:4 * C],          # case 11
+        dK_D[3 * C:4 * C],          # case 12
+        dK_D[4 * C:5 * C],          # case 13
+        dK_C[C:2 * C],              # case 14
+        dK_C[2 * C:3 * C],          # case 15
+        dK_D[5 * C:6 * C],          # case 16
+        dK_D[6 * C:7 * C],          # case 17
+        dK_C[3 * C:4 * C],          # case 18
+    ], axis=0)
+
+    @pl.when(bidx == 0)
+    def _():
+        dK_ref[...] = jnp.zeros_like(dK_ref)
+
+    dK_ref[...] += dK_full
+
+
+def risi18_matmul_pallas_bwd(T, A, K, g):
+    """Backward of :func:`risi18_matmul_pallas`.
+
+    g: [B, P, P, Cout] cotangent of Z.  Returns (dT [B,P,P,P,C],
+    dK [18C, Cout]); the adjacency is graph structure (non-differentiable
+    here — the einsum-spec VJP on :func:`risi18_layer` covers dA).
+    """
+    B, P = T.shape[0], T.shape[1]
+    C, Cout = T.shape[4], K.shape[1]
+    N2, PC = P * P, P * C
+    A = A.astype(jnp.float32)
+    X_ab = T.reshape(B, N2, PC)
+    g2 = g.reshape(B, N2, Cout)
+    consts = _constants(P, C)
+    const_args = [jnp.asarray(consts[n]) for n in _CONST_NAMES]
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pl.GridSpec(
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N2, PC), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, P), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            fixed((18 * C, Cout)),
+            pl.BlockSpec((1, N2, Cout), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [fixed(consts[n].shape) for n in _CONST_NAMES],
+        out_specs=[
+            pl.BlockSpec((1, N2, PC), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            fixed((18 * C, Cout)),
+        ],
+    )
+
+    kernel = functools.partial(_bwd_kernel, P=P, C=C, Cout=Cout)
+    dX, dK = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, N2, PC), T.dtype),
+                   jax.ShapeDtypeStruct((18 * C, Cout), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N2 * (12 * PC + 22 * C * Cout + 4 * N2 * C),
+            bytes_accessed=2 * T.nbytes + A.nbytes + K.nbytes
+            + B * N2 * Cout * 4,
+            transcendentals=0,
+        ),
+    )(X_ab, A, K, g2, *const_args)
+    return dX.reshape(B, P, P, P, C), dK.astype(K.dtype)
+
+
+@jax.custom_vjp
+def risi18_bank_train(T, A, K):
+    """Fused bank + channel matmul with PALLAS kernels both directions.
+
+    The training-path variant of :func:`risi18_layer`: forward is the
+    one-layout kernel, backward is :func:`risi18_matmul_pallas_bwd`
+    (dT/dK in one pass).  The adjacency cotangent is None (graph
+    structure, as in ``risi18_level``); use :func:`risi18_layer` if dA
+    is needed.
+    """
+    return risi18_matmul_pallas(T, A, K)
+
+
+def _bank_train_fwd(T, A, K):
+    return risi18_matmul_pallas(T, A, K), (T, A, K)
+
+
+def _bank_train_bwd(res, g):
+    T, A, K = res
+    dT, dK = risi18_matmul_pallas_bwd(T, A, K, g)
+    return dT, None, dK
+
+
+risi18_bank_train.defvjp(_bank_train_fwd, _bank_train_bwd)
+
+
+# ----------------------------------------------------------------------
 # Differentiable wrapper: Pallas forward, einsum-spec backward.
 # ----------------------------------------------------------------------
 
