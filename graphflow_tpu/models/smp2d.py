@@ -164,16 +164,20 @@ def _ein(dt):
 
 
 def _gather_neighbor_tensors_take(state_pad, nbr, pos):
-    """Flat-take formulation with XLA's native take adjoint (scatter)."""
+    """Flat-take formulation with XLA's native take adjoint (scatter).
+
+    state_pad may have MORE rows than nbr (the partitioned path gathers
+    from a halo-extended buffer); the output vertex axis is nbr's.
+    """
     V, Q = state_pad.shape[0], state_pad.shape[1]
-    P = nbr.shape[1]
+    Vout, P = nbr.shape
     C = state_pad.shape[3]
     dt = state_pad.dtype
     src = jnp.concatenate(
         [state_pad.reshape(V * Q, Q * C),
          jnp.zeros((Q, Q * C), dt)], axis=0)
     rows = nbr[:, :, None] * Q + pos
-    Ar = jnp.take(src, rows.reshape(-1), axis=0).reshape(V, P, P, Q, C)
+    Ar = jnp.take(src, rows.reshape(-1), axis=0).reshape(Vout, P, P, Q, C)
     Xsel = (pos[..., None] == jnp.arange(Q)).astype(dt)
     return _ein(dt)("vabqc,vapq->vabpc", Ar, Xsel).astype(dt)
 
@@ -218,8 +222,13 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None,
                      and platform in ("tpu", "axon")
                      and jnp.dtype(cfg.dtype) in (jnp.dtype(jnp.float32),
                                                   jnp.dtype(jnp.bfloat16)))
-        use_fused = pallas_ok and not training
-        use_bank_train = pallas_ok and training
+        bf16 = jnp.dtype(cfg.dtype) == jnp.dtype(jnp.bfloat16)
+        # f32 inference: the gather-fused level kernel wins (4.34 vs 4.80
+        # ms); bf16 and all training: flat-take gather + the Pallas bank
+        # (fwd 3.48 ms bf16; fwd+bwd 12.5/9.8 ms) — tools/bench_layer.py,
+        # tools/bench_train_step.py.
+        use_fused = pallas_ok and not training and not bf16
+        use_bank_train = pallas_ok and (training or bf16)
 
     for l in range(cfg.nLevels):
         Kl, bl = params["levels"][l]["K"], params["levels"][l]["b"]
