@@ -12,7 +12,9 @@ tools/bench_reference.cpp and recorded in BASELINE_MEASURED.json — i.e.
 Timing method: the TPU here sits behind a high-latency tunnel (~30 ms RTT),
 so per-call host timing is useless.  We run the layer k times inside one
 jitted lax.scan (data-dependent chain) and subtract the k=1 time — one
-dispatch, RTT cancels.
+dispatch, RTT cancels.  The chain carries the SMALL adjacency operand
+(262 KB), not T: carrying T costs a full 268 MB elementwise read+write of
+the carrier per link (~0.35 ms of pure methodology overhead, measured).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -33,7 +35,7 @@ def smp_layer(T, A, K, b):
     from graphflow_tpu.ops.risi_pallas import risi18_matmul_pallas
 
     # Single-pass one-layout Pallas kernel (fastest bank path measured:
-    # 1.85 ms vs 2.12 ms XLA einsum at these shapes, docs/KERNEL_NOTES.md);
+    # 1.18 ms vs 1.78 ms XLA einsum at these shapes, docs/KERNEL_NOTES.md);
     # parity-tested against the brute-force spec and the reference binary.
     z = risi18_matmul_pallas(T, A, K) + b[None, None, :]
     return jnp.where(z > 0, z, 0.01 * z)
@@ -55,11 +57,11 @@ def run(device, B=256, P=16, C=32, chain_len=33, reps=5):
         def chain(k):
             @jax.jit
             def run_fn(T, A, K, b):
-                def body(Tc, _):
-                    Z = smp_layer(Tc, A, K, b)
-                    Tc = Tc * (1.0 + 0.0 * Z.mean())
-                    return Tc, Z.mean()
-                _, zs = jax.lax.scan(body, T, None, length=k)
+                def body(Ac, _):
+                    Z = smp_layer(T, Ac, K, b)
+                    Ac = Ac * (1.0 + 0.0 * Z.mean())
+                    return Ac, Z.mean()
+                _, zs = jax.lax.scan(body, A, None, length=k)
                 return zs.sum()
             return run_fn
 

@@ -45,16 +45,16 @@ def bank_pallas(T, A, K):
 
 
 def time_fn(fn, args, chain_len=33, reps=5):
-    T = args[0]
-
+    # Chain on the SMALL adjacency operand: carrying T costs a full
+    # read+write of T per link (~0.35 ms of methodology overhead).
     def chain(k):
         @jax.jit
         def run(T, A, K):
-            def body(t, _):
-                Z = fn(t, A, K)
-                t = t * (1.0 + 0.0 * Z.mean())
-                return t, Z.mean()
-            _, zs = jax.lax.scan(body, T, None, length=k)
+            def body(a, _):
+                Z = fn(T, a, K)
+                a = a * (1.0 + 0.0 * Z.mean())
+                return a, Z.mean()
+            _, zs = jax.lax.scan(body, A, None, length=k)
             return zs.sum()
         return run
 
