@@ -104,102 +104,173 @@ def _tile_concat(x, times_rows: int, times_cols: int):
     return dbl(dbl(x, times_rows, 0), times_cols, 1)
 
 
-def _kernel(Xab_ref, A_ref, K_ref,
+def _fwd_consts(P: int, C: int, dtype=np.float32):
+    """Host-built constants for the merged-matmul forward kernel (v2).
+
+    Adds to :func:`_constants`: the stacked collapse matrix
+    ``Lcollapse = [Sa; Sb; ones]``, the stacked row-weight selector
+    ``selcat = [sel_rdiv; sel_rmod]``, a double-width ``mask_cb2`` for the
+    combined T_bc/M10 pass, ``eyeP``, and the row-swap permutation
+    ``rowswap`` ((b c) <- (c b)) built host-side.
+    """
+    base = _constants(P, C, dtype)
+    N2 = P * P
+    c = {k: base[k] for k in ("S", "Sa", "Sb", "sel_rdiv", "sel_rmod",
+                              "blockdiag", "crossdiag", "mask_cb",
+                              "mask_ca", "Srep")}
+    c["dmaskT"] = base["dmask_row"].T.copy()                # [1, N2]
+    c["selcat"] = np.concatenate(
+        [base["sel_rdiv"], base["sel_rmod"]], axis=0)       # [2N2, P]
+    c["mask_cb2"] = np.concatenate(
+        [base["mask_cb"], base["mask_cb"]], axis=1)         # [N2, 2PC]
+    c["eyeP"] = np.eye(P, dtype=dtype)
+    r = np.arange(N2)
+    c["rowswap"] = ((r[:, None] % P) * P + r[:, None] // P
+                    == r[None, :]).astype(dtype)            # [N2, N2]
+    # transposed row selectors for the matmul-built E9/E12
+    c["selrmodT"] = base["sel_rmod"].T.copy()               # [P, N2]
+    c["selrdivT"] = base["sel_rdiv"].T.copy()               # [P, N2]
+    return c
+
+
+_FWD_CONST_NAMES = ("S", "Sa", "Sb", "sel_rdiv", "sel_rmod", "blockdiag",
+                    "crossdiag", "mask_cb", "mask_ca", "Srep", "dmaskT",
+                    "selcat", "mask_cb2", "eyeP", "rowswap", "selrmodT",
+                    "selrdivT")
+
+
+def _kernel(Xab_ref, A_ref, K137_ref, KB_ref, KC_ref, KD_ref,
             S_ref, Sa_ref, Sb_ref, sel_rdiv_ref, sel_rmod_ref,
             blockdiag_ref, crossdiag_ref, mask_cb_ref, mask_ca_ref,
-            dmask_row_ref, Srep_ref, Sexp_ref,
+            Srep_ref, dmaskT_ref, selcat_ref, mask_cb2_ref, eyeP_ref,
+            rowswap_ref, selrmodT_ref, selrdivT_ref,
             out_ref, *, P, C, Cout):
+    """Merged-matmul forward (v2 of the one-layout kernel): same math,
+    fewer Mosaic ops — the per-step cost at these shapes is op-issue
+    bound, not FLOP- or HBM-bound (tools/ablate_bank.py), so:
+
+      * diagonal-row sums (cases 14/18) are tiny [1, N2] matmuls instead
+        of an X-sized mask multiply,
+      * the Kronecker maps E9/E12 are built by two tiny matmuls + one
+        mask multiply instead of concat-doubling,
+      * the four E9-group case maps are one [N2,N2]@[N2,4C] matmul,
+      * the T_bc/M10 derivations share one [N2, 2PC] pass,
+      * K arrives pre-grouped (XLA-side) and the final case assembly +
+        groups B/C land in ONE [N2, 9C+P+1] matmul.
+
+    Two Mosaic layout constraints shape the code: concatenation operands
+    must be FRESH values (slices at non-zero lane/sublane offsets do not
+    concatenate), and X-sized row-stacks cost more VPU copy time than
+    the matmuls they merge save (both measured).
+    """
     f32 = jnp.float32
     # Upcast once in VMEM: all in-kernel math runs f32 (DEFAULT-precision
     # MXU passes are bf16-rate anyway); bf16 inputs still halve HBM traffic.
     Xab = Xab_ref[0].astype(f32)
     A = A_ref[0]
-    K = K_ref[...].astype(f32)
-    S, Sa, Sb = S_ref[...], Sa_ref[...], Sb_ref[...]
+    K137 = K137_ref[...].astype(f32)
+    KB = KB_ref[...].astype(f32)
+    KC = KC_ref[...].astype(f32)
+    KD = KD_ref[...].astype(f32)
+    S = S_ref[...]
+    Sa, Sb = Sa_ref[...], Sb_ref[...]
     sel_rdiv, sel_rmod = sel_rdiv_ref[...], sel_rmod_ref[...]
     blockdiag, crossdiag = blockdiag_ref[...], crossdiag_ref[...]
     mask_cb, mask_ca = mask_cb_ref[...], mask_ca_ref[...]
-    dmask_row, Srep, Sexp = dmask_row_ref[...], Srep_ref[...], Sexp_ref[...]
+    Srep, dmaskT = Srep_ref[...], dmaskT_ref[...]
+    selcat = selcat_ref[...]
+    mask_cb2, eyeP = mask_cb2_ref[...], eyeP_ref[...]
+    rowswap = rowswap_ref[...]
+    selrmodT, selrdivT = selrmodT_ref[...], selrdivT_ref[...]
 
     def mm(x, y):
         return jnp.dot(x, y, preferred_element_type=f32)
 
-    N2 = P * P
-    ones_row = jnp.ones((1, N2), f32)
+    def cat0(xs):
+        return jnp.concatenate(xs, axis=0)
+
+    def cat1(xs):
+        return jnp.concatenate(xs, axis=1)
+
+    N2, PC = P * P, P * C
     ones_colP = jnp.ones((P, 1), f32)
+    ones_row = jnp.ones((1, N2), f32)
 
     # ---- adjacency quantities -------------------------------------------
     Ap = jnp.where(A > 0, A, jnp.zeros_like(A))
     S_adj = jnp.sum(Ap)
-    eyeP = (jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)).astype(f32)
     trA = jnp.sum(Ap * eyeP)
     R_col = mm(Ap, ones_colP)                       # [P, 1]
-    R_row = R_col.T                                 # [1, P]
-    Rcol_weights = mm(R_row, Srep)                  # [1, PC]: R[q//C]
+    Rcw = mm(R_col.T, Srep)                         # [1, PC]: R[q//C]
 
-    # ---- T reductions (rows already in (x y) output order) --------------
-    # Everything below reads ONLY the X_ab layout; [(b c), f]-ordered
-    # quantities are derived via constant row-select/row-swap matmuls.
-    T_ab = mm(Xab, S)                               # [(a b), f]
-    D_bc = mm(Xab * mask_cb, S)                     # T[a,b,b,f]  (= W16)
+    # ---- X family: masked channel-sums ----------------------------------
+    T_ab = mm(Xab, S)                               # sum_c T[a,b,c,f]
+    D_bc = mm(Xab * mask_cb, S)                     # T[a,b,b,f]
     V_ac = mm(Xab * mask_ca, S)                     # T[a,b,a,f]
+    M6 = mm(Xab * Rcw, S)                           # sum_c R[c] T (case 6)
 
-    def bc_rows(Y):
-        # Y [P, PC] with Y[b, (c f)]  ->  [(b c), f]
-        return mm(mm(sel_rdiv, Y) * mask_cb, S)
+    # ---- per-row adjacency weights: one stacked matmul -------------------
+    rr = mm(selcat, R_col)                          # [2 N2, 1]
+    rowRa, rowR = rr[0:N2], rr[N2:2 * N2]           # R[r//P], R[r%P]
 
-    T_bc = bc_rows(mm(Sb, Xab))                     # [(b c), f] = sum_a T
-    rowswap = crossdiag * crossdiag.T               # [N2,N2]: (b c)<-(c b)
-    W17 = mm(rowswap, V_ac)                         # T[c,b,c,f] rows (b c=e)
+    # ---- [(b c), f] rows (T_bc + case-10 map M10): one merged pass -------
+    Ycat = cat1([mm(Sb, Xab), mm(Sb, Xab * rowRa)])  # [P, 2 PC]
+    Y2 = mm(sel_rdiv, Ycat) * mask_cb2              # [N2, 2 PC]
+    T_bc = mm(Y2[:, :PC], S)                        # sum_a T[a,b,c,f]
+    M10 = mm(Y2[:, PC:], S)                         # sum_a R[a] T
+
+    # ---- collapse family -------------------------------------------------
     T_a = mm(Sa, T_ab)                              # [P, C]
     T_b = mm(Sb, T_ab)
     Tdiag_bc_a = mm(Sa, D_bc)
     D_ac_b = mm(Sb, V_ac)
     T_full = mm(ones_row, T_ab)                     # [1, C]
-    s14 = mm(mm(ones_row, Xab * dmask_row), S)      # [1, C]
     s15 = mm(ones_row, D_bc)
-    t18 = mm(ones_row, D_bc * dmask_row)
+    t18 = mm(dmaskT, D_bc)                          # diag rows of D_bc
+    # case 14: diagonal-row channel sums — two tiny matmuls, no X mask
+    s14 = mm(mm(dmaskT, Xab), S)                    # [1, C]
 
-    def Kblk(i):
-        return K[i * C:(i + 1) * C, :]
+    W17 = mm(rowswap, V_ac)                         # T[c,b,c,f] rows (b c=e)
 
-    # ---- Group A: cases 1, 3, 7 -----------------------------------------
-    Z = mm(T_ab, S_adj * Kblk(0) + trA * Kblk(6))
-    Z = Z + mm(T_bc, S_adj * Kblk(2))
+    # ---- Kronecker case maps built by matmul ------------------------------
+    Mid = mm(sel_rmod, Ap)                          # [N2, P]: Ap[r%P, e]
+    E9 = mm(Mid, selrmodT) * blockdiag              # kron(I, Ap)
+    E12 = mm(Mid, selrdivT) * crossdiag             # A'[d,e] delta(b,b')
+    E9out = mm(E9, cat1([T_ab, T_bc, D_bc, W17]))   # [M9|M13|M16|M17]
+    M12 = mm(E12, T_ab)
 
-    # ---- Group B: cases 2, 4, 8, 11 -------------------------------------
-    U = jnp.concatenate([T_a, T_b, Tdiag_bc_a, D_ac_b], axis=1)   # [P, 4C]
-    K_B = jnp.concatenate([Kblk(1), Kblk(3), Kblk(7), Kblk(10)], axis=0)
-    UK = mm(U, K_B)                                               # [P, Cout]
-    rowR = mm(sel_rmod, R_col)                      # [N2, 1] = R[r%P]
-    Z = Z + mm(sel_rdiv * rowR, UK)
-
-    # ---- Group C: cases 5, 14, 15, 18 -----------------------------------
-    t_cat = jnp.concatenate([T_full, s14, s15, t18], axis=1)      # [1, 4C]
-    K_C = jnp.concatenate([Kblk(4), Kblk(13), Kblk(14), Kblk(17)], axis=0)
-    tK = mm(t_cat, K_C)                                           # [1, Cout]
+    # ---- one fused case-assembly matmul (groups A, D, B, C) --------------
+    KA = S_adj * K137[0:C] + trA * K137[C:2 * C]    # cases 1, 7
+    KA3 = S_adj * K137[2 * C:3 * C]                 # case 3
+    # group B: per-row R[y] outer with the U @ KB channel maps
+    U = cat1([T_a, T_b, Tdiag_bc_a, D_ac_b])        # [P, 4C]
+    UK = mm(U, KB)                                  # [P, Cout]
+    # group C: Ap[x,y] (x) scalar channel map
+    t_cat = cat1([T_full, s14, s15, t18])           # [1, 4C]
+    tK = mm(t_cat, KC)                              # [1, Cout]
     G = mm(sel_rdiv, Ap)                            # [N2, P]: Ap[r//P, e]
     Ap_flat = mm(G * sel_rmod, ones_colP)           # [N2, 1]: Ap[r//P, r%P]
-    Z = Z + mm(Ap_flat, tK)
 
-    # ---- Group D: cases 6, 9, 10, 12, 13, 16, 17 ------------------------
-    M6 = mm(Xab * Rcol_weights, S)                  # [(a b), f]
-    rowRa = mm(sel_rdiv, R_col)                     # [N2, 1] = R[r//P] = R[a]
-    M10 = bc_rows(mm(Sb, Xab * rowRa))              # sum_a R[a] T[a,b,c,f]
-    E9 = _tile_concat(Ap, P, P) * blockdiag         # kron(I, Ap)
-    E12 = _tile_concat(mm(Ap, Sexp), P, 1) * crossdiag
-    M9 = mm(E9, T_ab)
-    M12 = mm(E12, T_ab)
-    M13 = mm(E9, T_bc)
-    M16 = mm(E9, D_bc)
-    M17 = mm(E9, W17)
-    M = jnp.concatenate([M6, M9, M10, M12, M13, M16, M17], axis=1)
-    K_D = jnp.concatenate(
-        [Kblk(i) for i in (5, 8, 9, 11, 12, 15, 16)], axis=0)     # [7C, Cout]
-    Z = Z + mm(M, K_D)
+    M_big = cat1([T_ab, T_bc, M6, M10, M12, E9out,
+                  sel_rdiv * rowR, Ap_flat])        # [N2, 9C + P + 1]
+    K_big = cat0([KA, KA3, KD, UK, tK])             # [9C + P + 1, Cout]
+    Z = mm(M_big, K_big)
 
     out_ref[0] = Z.astype(out_ref.dtype)
+
+
+def _group_K(K, C):
+    """Pre-arrange K (XLA side, fuses into the surrounding program) into
+    the kernel's operand groups.  Case i (1-based) is rows (i-1)C:iC."""
+    def blk(i):
+        return K[i * C:(i + 1) * C, :]
+
+    K137 = jnp.concatenate([blk(0), blk(6), blk(2)], axis=0)
+    KB = jnp.concatenate([blk(1), blk(3), blk(7), blk(10)], axis=0)
+    KC = jnp.concatenate([blk(4), blk(13), blk(14), blk(17)], axis=0)
+    # order matches M_all = [T_ab, T_bc, M6, M10, M12, M9, M13, M16, M17]
+    KD = jnp.concatenate([blk(i) for i in (5, 9, 11, 8, 12, 15, 16)], axis=0)
+    return K137, KB, KC, KD
 
 
 def risi18_matmul_pallas(T, A, K):
@@ -213,8 +284,9 @@ def risi18_matmul_pallas(T, A, K):
     # Mosaic can't vector-compare bf16 (the A > 0 guard); A is tiny, keep f32.
     A = A.astype(jnp.float32)
     X_ab = T.reshape(B, N2, PC)
-    consts = _constants(P, C)
-    const_args = [jnp.asarray(consts[n]) for n in _CONST_NAMES]
+    consts = _fwd_consts(P, C)
+    const_args = [jnp.asarray(consts[n]) for n in _FWD_CONST_NAMES]
+    K137, KB, KC, KD = _group_K(K, C)
 
     def fixed(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
@@ -227,8 +299,11 @@ def risi18_matmul_pallas(T, A, K):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, P), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            fixed((18 * C, Cout)),
-        ] + [fixed(consts[n].shape) for n in _CONST_NAMES],
+            fixed((3 * C, Cout)),
+            fixed((4 * C, Cout)),
+            fixed((4 * C, Cout)),
+            fixed((7 * C, Cout)),
+        ] + [fixed(consts[n].shape) for n in _FWD_CONST_NAMES],
         out_specs=pl.BlockSpec((1, N2, Cout), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
@@ -244,7 +319,7 @@ def risi18_matmul_pallas(T, A, K):
             + B * N2 * Cout * 4,
             transcendentals=0,
         ),
-    )(X_ab, A, K, *const_args)
+    )(X_ab, A, K137, KB, KC, KD, *const_args)
     return out.reshape(B, P, P, Cout)
 
 
