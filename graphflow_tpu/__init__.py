@@ -29,6 +29,35 @@ Reference layout mapping (see SURVEY.md for the full inventory):
 
 from graphflow_tpu.version import __version__
 
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (opt out: GRAPHFLOW_TPU_NO_CACHE=1).
+
+    TPU compiles of the full train-step program take minutes when the
+    chip sits behind a remote-compile tunnel; the persistent cache makes
+    every later process start in milliseconds.  Respects a user-set
+    ``jax_compilation_cache_dir``.
+    """
+    import os
+
+    if os.environ.get("GRAPHFLOW_TPU_NO_CACHE"):
+        return
+    import jax
+
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = os.path.join(
+                os.path.expanduser("~"), ".cache", "graphflow_tpu", "xla")
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
+
+_enable_compilation_cache()
+
 from graphflow_tpu.core.graph import DenseGraph
 from graphflow_tpu.core import prep
 from graphflow_tpu import ops
