@@ -53,6 +53,9 @@ def _consts(P: int, C: int, dtype=np.float32):
     N2, PC = P * P, P * C
     r = np.arange(N2)
     p = np.arange(PC)
+    mask_cb = (p[None, :] % P == r[:, None] % P).astype(dtype)
+    sel_rdiv = (r[:, None] // P == np.arange(P)[None, :]).astype(dtype)
+    sel_rmod = (r[:, None] % P == np.arange(P)[None, :]).astype(dtype)
 
     return {
         # [(c p2), f]: sum over p2 keeping channel
@@ -60,28 +63,33 @@ def _consts(P: int, C: int, dtype=np.float32):
         # [P, (c p2)]: diagonal mask p1 == p2
         "dmaskP": (np.arange(P)[:, None] == p[None, :] % P).astype(dtype),
         # [N2, (c p2)]: select p2 == y (= row % P)
-        "mask_cb": (p[None, :] % P == r[:, None] % P).astype(dtype),
+        "mask_cb": mask_cb,
+        # [N2, 2(c p2)]: the same, doubled (merged T_bc/M10 pass)
+        "mask_cb2": np.concatenate([mask_cb, mask_cb], axis=1),
         # [P, N2] row collapse keeping major / minor index
         "Sa": (np.arange(P)[:, None] == r[None, :] // P).astype(dtype),
         "Sb": (np.arange(P)[:, None] == r[None, :] % P).astype(dtype),
-        # [N2, P] row-index selectors
-        "sel_rdiv": (r[:, None] // P == np.arange(P)[None, :]).astype(dtype),
-        "sel_rmod": (r[:, None] % P == np.arange(P)[None, :]).astype(dtype),
+        # [N2, P] row-index selectors (+ transposes for E9/E12 builds)
+        "sel_rdiv": sel_rdiv,
+        "sel_rmod": sel_rmod,
+        "selrdivT": sel_rdiv.T.copy(),
+        "selrmodT": sel_rmod.T.copy(),
         # [N2, N2] Kronecker masks for E9/E12 + the (a b)->(b a) pair swap
         "blockdiag": (r[:, None] // P == r[None, :] // P).astype(dtype),
         "crossdiag": (r[:, None] // P == r[None, :] % P).astype(dtype),
         "Pswap": ((r[:, None] % P) * P + r[:, None] // P
                   == r[None, :]).astype(dtype),
-        # [N2, 1]: rows with x == y
+        # [N2, 1] / [1, N2]: rows with x == y
         "dmask_row": (r // P == r % P).astype(dtype)[:, None],
-        # [P, N2]: expand per-e weights to r//P columns (E12 construction)
-        "Sexp": (np.arange(P)[:, None] == r[None, :] // P).astype(dtype),
+        "dmaskT": (r // P == r % P).astype(dtype)[None, :],
+        "eyeP": np.eye(P, dtype=dtype),
     }
 
 
-_CONST_NAMES = ("Mrow", "dmaskP", "mask_cb", "Sa", "Sb", "sel_rdiv",
-                "sel_rmod", "blockdiag", "crossdiag", "Pswap", "dmask_row",
-                "Sexp")
+_CONST_NAMES = ("Mrow", "dmaskP", "mask_cb", "mask_cb2", "Sa", "Sb",
+                "sel_rdiv", "sel_rmod", "selrdivT", "selrmodT",
+                "blockdiag", "crossdiag", "Pswap", "dmask_row", "dmaskT",
+                "eyeP")
 
 
 def _tile_rows(x, times: int):
@@ -129,10 +137,12 @@ _ABLATE = {"prims": True, "acc": True}
 
 
 def _kernel(nbr_ref,                              # scalar prefetch [V*P]
-            state_ref, xsel_ref, radj_ref, K_ref, b_ref,
-            Mrow_ref, dmaskP_ref, mask_cb_ref, Sa_ref, Sb_ref,
-            sel_rdiv_ref, sel_rmod_ref, blockdiag_ref, crossdiag_ref,
-            Pswap_ref, dmask_row_ref, Sexp_ref,
+            state_ref, xsel_ref, radj_ref,
+            K137_ref, KB_ref, KC_ref, KD_ref, b_ref,
+            Mrow_ref, dmaskP_ref, mask_cb_ref, mask_cb2_ref, Sa_ref, Sb_ref,
+            sel_rdiv_ref, sel_rmod_ref, selrdivT_ref, selrmodT_ref,
+            blockdiag_ref, crossdiag_ref, Pswap_ref, dmask_row_ref,
+            dmaskT_ref, eyeP_ref,
             out_ref,
             acc_ref, accR_ref, rowsum_ref, rowsumR_ref, diag_ref, coli_ref,
             *, P, C, G, Cout, negslope, precision):
@@ -194,77 +204,67 @@ def _kernel(nbr_ref,                              # scalar prefetch [V*P]
     # ---- last slot: assemble the 18-case bank + channel matmul -----------
     @pl.when(i == P - 1)
     def _assemble():
-        K = K_ref[...]
+        K137 = K137_ref[...].astype(f32)
+        KB = KB_ref[...].astype(f32)
+        KC = KC_ref[...].astype(f32)
+        KD = KD_ref[...].astype(f32)
         Sa, Sb = Sa_ref[...], Sb_ref[...]
         sel_rdiv, sel_rmod = sel_rdiv_ref[...], sel_rmod_ref[...]
+        selrdivT, selrmodT = selrdivT_ref[...], selrmodT_ref[...]
         blockdiag, crossdiag = blockdiag_ref[...], crossdiag_ref[...]
-        Pswap, mask_cb = Pswap_ref[...], mask_cb_ref[...]
-        dmask_row, Sexp = dmask_row_ref[...], Sexp_ref[...]
+        Pswap, mask_cb2 = Pswap_ref[...], mask_cb2_ref[...]
+        dmaskT = dmaskT_ref[...]
 
         ones_row = jnp.ones((1, N2), f32)
         S_adj = jnp.sum(Ap)
-        eyeP = (jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
-                ).astype(f32)
-        trA = jnp.sum(Ap * eyeP)
+        trA = jnp.sum(Ap * eyeP_ref[...])
 
         T_ab = rowsum_ref[...]                        # [(a b), f]
         M6 = rowsumR_ref[...]                         # [(a b), f] case 6
         D_bc = diag_ref[...]                          # [(a b), f] T[a,b,b]
         V_ac = coli_ref[...]                          # [(a b), f] T[a,b,a]
-        acc = acc_ref[...]                            # [b, (c p2)]
-        accR = accR_ref[...]
 
         # [(b c), f] rows from the accumulators: replicate rows over y,
-        # select p2 == y, sum keeping channel.
-        T_bc = mm(mm(sel_rdiv, acc) * mask_cb, Mrow)  # [(b c), f] case base
-        M10 = mm(mm(sel_rdiv, accR) * mask_cb, Mrow)  # case 10
+        # select p2 == y, sum keeping channel — one merged 2PC pass.
+        acc2 = jnp.concatenate([acc_ref[...], accR_ref[...]], axis=1)
+        Y2 = mm(sel_rdiv, acc2) * mask_cb2            # [N2, 2 PC]
+        T_bc = mm(Y2[:, :P * C], Mrow)                # case base (3/13)
+        M10 = mm(Y2[:, P * C:], Mrow)                 # case 10
 
         T_a = mm(Sa, T_ab)                            # [P, C]
         T_b = mm(Sb, T_ab)
         Tdiag_bc_a = mm(Sa, D_bc)
         D_ac_b = mm(Sb, V_ac)
         T_full = mm(ones_row, T_ab)                   # [1, C]
-        s14 = mm(ones_row, T_ab * dmask_row)
+        s14 = mm(dmaskT, T_ab)                        # diag rows of T_ab
         s15 = mm(ones_row, D_bc)
-        t18 = mm(ones_row, D_bc * dmask_row)
+        t18 = mm(dmaskT, D_bc)
         W17 = mm(Pswap, V_ac)                         # [(b e), f] T[e,b,e]
 
-        def Kblk(k):
-            return K[k * C:(k + 1) * C, :].astype(f32)
+        # Kronecker case maps built by matmul (vs concat-doubling)
+        Mid = mm(sel_rmod, Ap)                        # [N2, P]: Ap[r%P, e]
+        E9 = mm(Mid, selrmodT) * blockdiag            # kron(I, Ap)
+        E12 = mm(Mid, selrdivT) * crossdiag
+        E9out = mm(E9, jnp.concatenate(
+            [T_ab, T_bc, D_bc, W17], axis=1))         # [M9|M13|M16|M17]
+        M12 = mm(E12, T_ab)
 
-        # Group A: cases 1, 3, 7
-        Z = mm(T_ab, S_adj * Kblk(0) + trA * Kblk(6))
-        Z = Z + mm(T_bc, S_adj * Kblk(2))
-
-        # Group B: cases 2, 4, 8, 11 (outer products with R[y])
+        # one fused case-assembly matmul (groups A, D, B, C)
+        KA = S_adj * K137[0:C] + trA * K137[C:2 * C]  # cases 1, 7
+        KA3 = S_adj * K137[2 * C:3 * C]               # case 3
         U = jnp.concatenate([T_a, T_b, Tdiag_bc_a, D_ac_b], axis=1)
-        K_B = jnp.concatenate([Kblk(1), Kblk(3), Kblk(7), Kblk(10)], axis=0)
-        UK = mm(U, K_B)                               # [P, Cout]
-        rowR = mm(sel_rmod, R_col)                    # [N2, 1] = R[y]
-        Z = Z + mm(sel_rdiv * rowR, UK)
-
-        # Group C: cases 5, 14, 15, 18 (Ap (x) scalar channel maps)
+        UK = mm(U, KB)                                # [P, Cout]
         t_cat = jnp.concatenate([T_full, s14, s15, t18], axis=1)
-        K_C = jnp.concatenate([Kblk(4), Kblk(13), Kblk(14), Kblk(17)],
-                              axis=0)
-        tK = mm(t_cat, K_C)                           # [1, Cout]
+        tK = mm(t_cat, KC)                            # [1, Cout]
         Gsel = mm(sel_rdiv, Ap)                       # [N2, P]
         Ap_flat = mm(Gsel * sel_rmod, onesP)          # [N2, 1] = Ap[x, y]
-        Z = Z + mm(Ap_flat, tK)
+        rowR = mm(sel_rmod, R_col)                    # [N2, 1] = R[y]
 
-        # Group D: cases 6, 9, 10, 12, 13, 16, 17
-        E9 = _tile_concat(Ap, P, P) * blockdiag
-        E12 = _tile_concat(mm(Ap, Sexp), P, 1) * crossdiag
-        M9 = mm(E9, T_ab)
-        M12 = mm(E12, T_ab)
-        M13 = mm(E9, T_bc)
-        M16 = mm(E9, D_bc)
-        M17 = mm(E9, W17)
-        M = jnp.concatenate([M6, M9, M10, M12, M13, M16, M17], axis=1)
-        K_D = jnp.concatenate(
-            [Kblk(k) for k in (5, 8, 9, 11, 12, 15, 16)], axis=0)
-        Z = Z + mm(M, K_D)
+        M_big = jnp.concatenate(
+            [T_ab, T_bc, M6, M10, M12, E9out,
+             sel_rdiv * rowR, Ap_flat], axis=1)       # [N2, 9C + P + 1]
+        K_big = jnp.concatenate([KA, KA3, KD, UK, tK], axis=0)
+        Z = mm(M_big, K_big)
 
         # bias + LeakyReLU
         Z = Z + b_ref[...].astype(f32)
@@ -298,6 +298,8 @@ def risi18_level_fused_raw(state_cm, nbr, xsel, radj, K, b,
         G *= 2
     consts = _consts(P, C)
     const_args = [jnp.asarray(consts[n]) for n in _CONST_NAMES]
+    from graphflow_tpu.ops.risi_pallas import _group_K
+    K137, KB, KC, KD = _group_K(K, C)
 
     def fixed(shape):
         return pl.BlockSpec(shape, lambda v, i, nref: tuple(0 for _ in shape),
@@ -315,7 +317,10 @@ def risi18_level_fused_raw(state_cm, nbr, xsel, radj, K, b,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, P), lambda v, i, nref: (v, 0, 0),
                          memory_space=pltpu.VMEM),
-            fixed((18 * C, Cout)),
+            fixed((3 * C, Cout)),
+            fixed((4 * C, Cout)),
+            fixed((4 * C, Cout)),
+            fixed((7 * C, Cout)),
             fixed((1, Cout)),
         ] + [fixed(consts[n].shape) for n in _CONST_NAMES],
         out_specs=pl.BlockSpec((1, N2, Cout), lambda v, i, nref: (v, 0, 0),
@@ -352,7 +357,7 @@ def risi18_level_fused_raw(state_cm, nbr, xsel, radj, K, b,
             + V * N2 * Cout * dt.itemsize,
             transcendentals=0,
         ),
-    )(nbr.reshape(V * P), state_cm, xsel, radj, K,
+    )(nbr.reshape(V * P), state_cm, xsel, radj, K137, KB, KC, KD,
       b.reshape(1, Cout), *const_args)
     return out
 
