@@ -25,8 +25,8 @@ from graphflow_tpu.models.rnn import LSTM, GRU
 from graphflow_tpu.models.mlp import MLP, CNN
 from graphflow_tpu.models.smp2d_steerable import (
     SMP2DSteerable, SMP2DSteerableConfig, SMP_2D, SMP_2D_classification,
-    SMP_2D_ver2, SMP_2D_ver3, SMP_2D_ver4, SMP_2D_ver5, Unrestricted_SMP_2D,
-    Unrestricted_SMP_2D_ver2,
+    SMP_2D_ver2, SMP_2D_ver3, SMP_2D_ver4, SMP_2D_ver4_classification,
+    SMP_2D_ver5, Unrestricted_SMP_2D, Unrestricted_SMP_2D_ver2,
 )
 from graphflow_tpu.models.smp2d import (
     SMP_beta_physics, SMP_gamma_physics, SMP_2D_ver6_classification,
@@ -38,6 +38,6 @@ from graphflow_tpu.models.smp1d import (
 )
 from graphflow_tpu.models.smp2d import smp2d_inspect
 from graphflow_tpu.models.smp2d import (
-    SMP_2D_ver4_classification, SMP_omega_gpu, SMP_beta_gpu,
+    SMP_omega_gpu, SMP_beta_gpu,
     SMP_omega_gpu_multistreams, SMP_beta_gpu_multistreams,
 )

@@ -190,17 +190,11 @@ def fit_bucketed(model: GraphModel, graphs, targets, learning_rate: float,
     from graphflow_tpu.core import batching as batching_mod
 
     buckets = batching_mod.bucket_by_size(graphs, targets, boundaries)
-    # Per-bucket preparation with bucket-local padding.
+    # Per-bucket preparation with bucket-local padding, threaded through
+    # _prepare's pad_nVertices argument (no shared-config mutation).
     prepared = {}
     for b, (gs, ts) in buckets.items():
-        saved = model.cfg.max_nVertices
-        pgs = []
-        for g in gs:
-            model.cfg.max_nVertices = b
-            try:
-                pgs.append(model._prepare(g))
-            finally:
-                model.cfg.max_nVertices = saved
+        pgs = [model._prepare(g, pad_nVertices=b) for g in gs]
         prepared[b] = (batching_mod.stack_graphs(pgs, ts), len(gs))
 
     rng = np.random.default_rng(seed)

@@ -54,7 +54,16 @@ class SMP1DConfig:
     nChanels: int
     nFeatures: int
     nDepth: int
-    filter: str = "theta"             # "theta" | "steerable" | "unrestricted"
+    # "theta"        — [l1*sum ; l2*1@sum] @ K (2C->C), constant channels
+    # "steerable"    — (l1 I + l2 1) @ sum, constant channels
+    # "concat"       — [l1*sum ; l2*1@sum] concat, channels DOUBLE per level
+    #                  (``SMP_1D_ver2.h:131-166``: no K reducer)
+    # "concat_kk"    — concat of (l1*sum)@K_eye and (l2*1@sum)@K_one, channel
+    #                  growth (``SMP_1D_ver3.h:142-175,542-549``)
+    # "unrestricted" — full W[size] spatial filter, constant channels
+    # "unrestricted2"— [W1[s]@sum ; W2[s]@sum] concat, channel growth
+    #                  (``Unrestricted_SMP_1D_ver2.h:102-137``)
+    filter: str = "theta"
     has_WL_ordering: bool = True
     use_wl_features: bool = True
     nClasses: Optional[int] = None
@@ -71,35 +80,51 @@ class SMP1DConfig:
         return (self.max_receptive_field
                 if self.max_receptive_field is not None else self.max_nVertices)
 
+    def channels_at(self, l: int) -> int:
+        """Channel count of the level-l state.  The ver2/ver3 and
+        Unrestricted-ver2 families double channels each level
+        (``SMP_1D_ver2.h:131``: C_l = 2 C_{l-1})."""
+        if self.filter in ("concat", "concat_kk", "unrestricted2"):
+            return self.nChanels * (2 ** l)
+        return self.nChanels
+
 
 def init_smp1d_params(key, cfg: SMP1DConfig):
     from graphflow_tpu.optim.utils import uniform_init
 
     dtype = jnp.dtype(cfg.dtype)
     V1 = cfg.max_nVertices + 1  # per-size params, index by |phi| in [1, V]
-    n_per_level = 4 if cfg.filter == "theta" else 3
-    keys = jax.random.split(key, 2 + n_per_level * cfg.nLevels)
+    keys = jax.random.split(key, 2 + 6 * cfg.nLevels)
     ki = iter(keys)
     params = {"H": uniform_init(next(ki), (cfg.nChanels, cfg.feat_dim), dtype),
               "levels": []}
     for l in range(cfg.nLevels):
+        C_prev, C = cfg.channels_at(l), cfg.channels_at(l + 1)
         lev = {}
         if cfg.filter == "unrestricted":
             lev["Wf"] = uniform_init(next(ki), (V1, cfg.P, cfg.P), dtype,
                                      fan=cfg.P)
+        elif cfg.filter == "unrestricted2":
+            lev["Wf1"] = uniform_init(next(ki), (V1, cfg.P, cfg.P), dtype,
+                                      fan=cfg.P)
+            lev["Wf2"] = uniform_init(next(ki), (V1, cfg.P, cfg.P), dtype,
+                                      fan=cfg.P)
         else:
             lev["lambda1"] = uniform_init(next(ki), (V1,), dtype, fan=1)
             lev["lambda2"] = uniform_init(next(ki), (V1,), dtype, fan=1)
-        lev["b"] = uniform_init(next(ki), (V1, cfg.nChanels), dtype,
-                                fan=cfg.nChanels)
+        lev["b"] = uniform_init(next(ki), (V1, C), dtype, fan=C)
         if cfg.filter == "theta":
             lev["K"] = uniform_init(next(ki),
                                     (2 * cfg.nChanels, cfg.nChanels), dtype)
+        elif cfg.filter == "concat_kk":
+            lev["K_eye"] = uniform_init(next(ki), (C_prev, C_prev), dtype)
+            lev["K_one"] = uniform_init(next(ki), (C_prev, C_prev), dtype)
         params["levels"].append(lev)
+    CL = cfg.channels_at(cfg.nLevels)
     if cfg.nClasses:
-        params["W"] = uniform_init(next(ki), (cfg.nClasses, cfg.nChanels), dtype)
+        params["W"] = uniform_init(next(ki), (cfg.nClasses, CL), dtype)
     else:
-        params["W"] = uniform_init(next(ki), (cfg.nChanels,), dtype)
+        params["W"] = uniform_init(next(ki), (CL,), dtype)
     return params
 
 
@@ -124,11 +149,11 @@ def _neighbor_sum(f_prev, vid_prev, adj1, vid_cur, V, P, C):
 
 
 def smp1d_states(params, g, cfg: SMP1DConfig):
-    """Run the tower, returning per-level matrix states [V, P, C]."""
-    V, P, C = g["vmask"].shape[0], cfg.P, cfg.nChanels
+    """Run the tower, returning per-level matrix states [V, P, C_l]."""
+    V, P = g["vmask"].shape[0], cfg.P
 
     F0 = activations.leaky_relu(g["wl_feat"] @ params["H"].T)     # [V, C]
-    state = jnp.zeros((V, P, C), F0.dtype).at[:, 0, :].set(
+    state = jnp.zeros((V, P, cfg.nChanels), F0.dtype).at[:, 0, :].set(
         F0 * g["vmask"][:, None])
     states = [state]
     vid_prev = jnp.full((V, P), V, jnp.int32).at[:, 0].set(
@@ -139,32 +164,53 @@ def smp1d_states(params, g, cfg: SMP1DConfig):
 
     for l in range(cfg.nLevels):
         lev = params["levels"][l]
+        C_prev = cfg.channels_at(l)
         # vid for phi_l: prepared nbr[l-1] holds phi_l(v)[i]; sentinel slots
         # are marked by the row mask.
         vid_cur = g["nbr"][l].astype(jnp.int32)
         rm = g["smask"][l + 1][:, :, 0]                       # [V, P] row mask
         vid_cur = jnp.where(rm > 0, vid_cur, V)
 
-        sum_v = _neighbor_sum(state, vid_prev, adj1, vid_cur, V, P, C)
+        sum_v = _neighbor_sum(state, vid_prev, adj1, vid_cur, V, P, C_prev)
         sum_v = sum_v * rm[:, :, None]
 
         s = g["sizes"][l + 1]                                  # [V]
         b = lev["b"][s]                                        # [V, C]
-        colsum = sum_v.sum(axis=1)                             # [V, C]
+        colsum = sum_v.sum(axis=1)                             # [V, C_prev]
+        ones_sum = rm[:, :, None] * colsum[:, None, :]         # (1_s @ sum)
 
         if cfg.filter == "theta":
             l1, l2 = lev["lambda1"][s], lev["lambda2"][s]      # [V]
             a1 = l1[:, None, None] * sum_v
-            a2 = l2[:, None, None] * rm[:, :, None] * colsum[:, None, :]
+            a2 = l2[:, None, None] * ones_sum
             z = jnp.concatenate([a1, a2], axis=-1) @ lev["K"]
         elif cfg.filter == "steerable":
             l1, l2 = lev["lambda1"][s], lev["lambda2"][s]
-            z = (l1[:, None, None] * sum_v
-                 + l2[:, None, None] * rm[:, :, None] * colsum[:, None, :])
+            z = l1[:, None, None] * sum_v + l2[:, None, None] * ones_sum
+        elif cfg.filter == "concat":
+            # SMP_1D_ver2.h:521-529: channel-growing concat, no reducer.
+            l1, l2 = lev["lambda1"][s], lev["lambda2"][s]
+            z = jnp.concatenate([l1[:, None, None] * sum_v,
+                                 l2[:, None, None] * ones_sum], axis=-1)
+        elif cfg.filter == "concat_kk":
+            # SMP_1D_ver3.h:542-549: each branch channel-mixed by K before
+            # the concat (filtered = affine @ K_eye, filtered2 = affine2 @
+            # K_one).
+            l1, l2 = lev["lambda1"][s], lev["lambda2"][s]
+            a1 = (l1[:, None, None] * sum_v) @ lev["K_eye"]
+            a2 = (l2[:, None, None] * ones_sum) @ lev["K_one"]
+            z = jnp.concatenate([a1, a2], axis=-1)
         elif cfg.filter == "unrestricted":
             Wv = lev["Wf"][s]                                  # [V, P, P]
             Wv = Wv * rm[:, :, None] * rm[:, None, :]
             z = jnp.einsum("vpq,vqc->vpc", Wv, sum_v)
+        elif cfg.filter == "unrestricted2":
+            # Unrestricted_SMP_1D_ver2.h:102-137: two full spatial filters,
+            # outputs concatenated along channels (growth x2).
+            m = rm[:, :, None] * rm[:, None, :]
+            z1 = jnp.einsum("vpq,vqc->vpc", lev["Wf1"][s] * m, sum_v)
+            z2 = jnp.einsum("vpq,vqc->vpc", lev["Wf2"][s] * m, sum_v)
+            z = jnp.concatenate([z1, z2], axis=-1)
         else:
             raise ValueError(cfg.filter)
 
@@ -200,18 +246,25 @@ class SMP1D(GraphModel):
         super().__init__(optimizer=cfg.optimizer)
         self.cfg = cfg
         self.params = init_smp1d_params(jax.random.PRNGKey(seed), cfg)
-        per_level = (["Wf", "b"] if cfg.filter == "unrestricted"
-                     else ["lambda1", "lambda2", "b"]
-                     + (["K"] if cfg.filter == "theta" else []))
+        if cfg.filter == "unrestricted":
+            per_level = ["Wf", "b"]
+        elif cfg.filter == "unrestricted2":
+            per_level = ["Wf1", "Wf2", "b"]
+        else:
+            per_level = (["lambda1", "lambda2", "b"]
+                         + {"theta": ["K"],
+                            "concat_kk": ["K_eye", "K_one"]}.get(cfg.filter,
+                                                                 []))
         self.param_order = (["H"]
                             + [f"levels/{l}/{k}" for l in range(cfg.nLevels)
                                for k in per_level]
                             + ["W"])
         self._finish_init()
 
-    def _prepare(self, graph: DenseGraph) -> prep.PreparedGraph:
+    def _prepare(self, graph: DenseGraph,
+                 pad_nVertices: int = None) -> prep.PreparedGraph:
         return prep.prepare_graph(
-            graph, self.cfg.nLevels, self.cfg.max_nVertices,
+            graph, self.cfg.nLevels, pad_nVertices or self.cfg.max_nVertices,
             self.cfg.max_receptive_field, self.cfg.nDepth,
             has_WL_ordering=self.cfg.has_WL_ordering,
             use_wl_features=self.cfg.use_wl_features,
@@ -286,20 +339,25 @@ def SMP_theta_physics(max_nVertices, max_receptive_field, nLevels, nChanels,
 
 
 def SMP_1D_ver2(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
-                seed=0) -> SMP1D:
-    """``SMP_1D_ver2.h``: the concat-2C filter arrangement (theta-style
-    filters without the receptive-field cap)."""
+                momentum_param=0.9, seed=0) -> SMP1D:
+    """``SMP_1D_ver2.h:131-166``: channel-growing concat of the two scalar
+    steerable branches (C_l = 2 C_{l-1}, no reducer), uncapped phi,
+    Momentum."""
     return SMP1D(SMP1DConfig(
         max_nVertices=max_nVertices, max_receptive_field=None,
         nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
-        nDepth=nDepth, filter="theta", optimizer="momentum"), seed)
+        nDepth=nDepth, filter="concat", optimizer="momentum"), seed)
 
 
 def SMP_1D_ver3(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
-                seed=0) -> SMP1D:
-    """``SMP_1D_ver3.h``: channel-variant of ver2 (same TPU architecture)."""
-    return SMP_1D_ver2(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
-                       seed)
+                momentum_param=0.9, seed=0) -> SMP1D:
+    """``SMP_1D_ver3.h:142-175,542-549``: ver2 plus per-level K_eye/K_one
+    (prevC x prevC) channel mixers applied to each branch before the
+    concat."""
+    return SMP1D(SMP1DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=None,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
+        nDepth=nDepth, filter="concat_kk", optimizer="momentum"), seed)
 
 
 def SMP_1D_ver3_classification(max_nVertices, nLevels, nChanels, nFeatures,
@@ -308,12 +366,15 @@ def SMP_1D_ver3_classification(max_nVertices, nLevels, nChanels, nFeatures,
     return SMP1D(SMP1DConfig(
         max_nVertices=max_nVertices, max_receptive_field=None,
         nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
-        nDepth=nDepth, filter="theta", nClasses=nClasses,
+        nDepth=nDepth, filter="concat_kk", nClasses=nClasses,
         optimizer="momentum"), seed)
 
 
 def Unrestricted_SMP_1D_ver2(max_nVertices, nLevels, nChanels, nFeatures,
                              nDepth, seed=0) -> SMP1D:
-    """``Unrestricted_SMP_1D_ver2.h``: full W[size] filters (variant)."""
-    return Unrestricted_SMP_1D(max_nVertices, nLevels, nChanels, nFeatures,
-                               nDepth, seed)
+    """``Unrestricted_SMP_1D_ver2.h:102-137``: TWO full W[size] spatial
+    filters per size, outputs concatenated (channel growth x2/level)."""
+    return SMP1D(SMP1DConfig(
+        max_nVertices=max_nVertices, max_receptive_field=None,
+        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
+        nDepth=nDepth, filter="unrestricted2", optimizer="momentum"), seed)

@@ -308,9 +308,10 @@ class SMP2D(GraphModel):
                             + ["W"])
         self._finish_init()
 
-    def _prepare(self, graph: DenseGraph) -> prep.PreparedGraph:
+    def _prepare(self, graph: DenseGraph,
+                 pad_nVertices: int = None) -> prep.PreparedGraph:
         return prep.prepare_graph(
-            graph, self.cfg.nLevels, self.cfg.max_nVertices,
+            graph, self.cfg.nLevels, pad_nVertices or self.cfg.max_nVertices,
             self.cfg.max_receptive_field, self.cfg.nDepth,
             has_WL_ordering=self.cfg.has_WL_ordering,
             use_coulomb=self.cfg.use_coulomb,
@@ -466,17 +467,6 @@ def smp2d_inspect(model, graph) -> dict:
         "vertex_features": np.asarray(vertex)[:n],
         "graph_feature": np.asarray(_graph_feature(states[-1], g["vmask"])),
     }
-
-
-def SMP_2D_ver4_classification(max_nVertices, max_receptive_field, nLevels,
-                               nChanels, nFeatures, nDepth, nClasses,
-                               seed=0):
-    """``SMP_2D_ver4_classification.h`` (steerable concat-K + LogLoss)."""
-    from graphflow_tpu.models.smp2d_steerable import (
-        SMP2DSteerable, SMP2DSteerableConfig)
-    return SMP2DSteerable(SMP2DSteerableConfig(
-        max_nVertices, nLevels, nChanels, nFeatures, nDepth,
-        filter="concat_k", nClasses=nClasses), seed)
 
 
 # ----------------------------------------------------------------------

@@ -11,10 +11,13 @@ Covers the reference models that predate the contraction banks:
   SMP_2D_classification: + LogLoss head.
   SMP_2D_ver2/ver3 (``SMP_2D_ver2.h:131-177``): MATRIX-valued lambdas
       (prevC x prevC) with channel growth C_l = 2 C_{l-1}
-      (Tensor4DConcat of the two filter paths, Tensor4DTensor3DMul apply).
-  SMP_2D_ver4(_cls)/ver5 (``SMP_2D_ver5.h:127-171``): vector lambdas, the
-      two filter paths concatenated along channels then reduced by
-      K (C x 2C) (CustomMatMulTensor).
+      (Tensor4DConcat of the two filter paths, Tensor4DTensor3DMul apply);
+      ver3 drops the scalar (.) adjacency addition (``SMP_2D_ver3.h:551``).
+  SMP_2D_ver4(_cls) (``SMP_2D_ver4.h:130-180``): vector lambdas, the two
+      filter paths concatenated along channels — channel growth, no reducer.
+  SMP_2D_ver5 (``SMP_2D_ver5.h:127-171``): like ver4 but constant width —
+      the 2C concat is reduced by K (C x 2C) (CustomMatMulTensor at
+      ``SMP_2D_ver5.h:599-604``).
   Unrestricted_SMP_2D (``Unrestricted_SMP_2D.h:99-124``): a full learned
       W[s] in R^{s x s x C} applied by TensorMul.
   Unrestricted_SMP_2D_ver2 (``Unrestricted_SMP_2D_ver2.h:102-137``):
@@ -54,8 +57,20 @@ class SMP2DSteerableConfig:
     nChanels: int
     nFeatures: int
     nDepth: int
-    filter: str = "steerable"   # steerable | matrix | concat_k | unrestricted
+    # "steerable"    — W = l1 (.) I + l2 (.) 1, constant channels (SMP_2D.h)
+    # "matrix"       — matrix lambdas (prevC x prevC), concat, channel growth
+    #                  (SMP_2D_ver2.h/ver3.h)
+    # "concat"       — vector lambdas, concat, channel growth (SMP_2D_ver4.h:
+    #                  nChanels doubles per level, no reducer)
+    # "concat_k"     — vector lambdas, concat, K (C x 2C) reducer, constant
+    #                  channels (SMP_2D_ver5.h:127-171)
+    # "unrestricted" / "unrestricted4d" — full learned filters
+    filter: str = "steerable"
     has_WL_ordering: bool = True
+    # ver3 drops the scalar (.) reduced-adjacency addition that ver2 keeps
+    # (diff SMP_2D_ver2.h:548-576 vs SMP_2D_ver3.h:551 — ver3's affine
+    # consumes level->sum directly and registers no scalar parameter).
+    add_scalar_adj: bool = True
     nClasses: Optional[int] = None
     optimizer: str = "momentum"
     momentum_param: float = 0.9
@@ -66,9 +81,10 @@ class SMP2DSteerableConfig:
         return self.nFeatures * (self.nDepth + 1)
 
     def channels_at(self, l: int) -> int:
-        """ver2/ver3 double channels per level (SMP_2D_ver2.h:131);
-        Unrestricted ver2 likewise (Unrestricted_SMP_2D_ver2.h:102-104)."""
-        if self.filter in ("matrix", "unrestricted4d"):
+        """ver2/ver3/ver4 double channels per level (SMP_2D_ver2.h:131,
+        SMP_2D_ver4.h:130-138); Unrestricted ver2 likewise
+        (Unrestricted_SMP_2D_ver2.h:102-104)."""
+        if self.filter in ("matrix", "concat", "unrestricted4d"):
             return self.nChanels * (2 ** l)
         return self.nChanels
 
@@ -90,8 +106,10 @@ def init_params(key, cfg: SMP2DSteerableConfig):
         C_prev, C = cfg.channels_at(l - 1), cfg.channels_at(l)
         # Reference uniform_init scales vectors by their size
         # (GraphFlow.h:1297-1307), so lambda/scalar ranges are 0.9/C.
-        lev = {"scalar": uniform_init(next(keys), (C_prev,), dtype,
-                                      fan=C_prev)}
+        lev = {}
+        if cfg.add_scalar_adj:
+            lev["scalar"] = uniform_init(next(keys), (C_prev,), dtype,
+                                         fan=C_prev)
         if cfg.filter == "unrestricted":
             lev["Wf"] = uniform_init(next(keys), (V1, cfg.P, cfg.P, C),
                                      dtype, fan=cfg.P)
@@ -103,6 +121,13 @@ def init_params(key, cfg: SMP2DSteerableConfig):
                                           dtype, fan=C_prev)
             lev["lambda2"] = uniform_init(next(keys), (V1, C_prev, C_prev),
                                           dtype, fan=C_prev)
+        elif cfg.filter == "concat":
+            # ver4: vector lambdas over the PREVIOUS level's channels
+            # (SMP_2D_ver4.h:149-150: Vector(prevC)).
+            lev["lambda1"] = uniform_init(next(keys), (V1, C_prev), dtype,
+                                          fan=C_prev)
+            lev["lambda2"] = uniform_init(next(keys), (V1, C_prev), dtype,
+                                          fan=C_prev)
         else:
             lev["lambda1"] = uniform_init(next(keys), (V1, C), dtype, fan=C)
             lev["lambda2"] = uniform_init(next(keys), (V1, C), dtype, fan=C)
@@ -161,8 +186,11 @@ def forward(params, g, cfg: SMP2DSteerableConfig):
 
         q = _neighbor_quadratic_sum(state, vid_prev, adj1, vid_cur, V, Pp,
                                     C_prev)
-        # + scalar (.) reduced adjacency (SMP_2D.h:528-530)
-        q = q + g["radj"][l][:, :, :, None] * lev["scalar"][None, None, None]
+        if cfg.add_scalar_adj:
+            # + scalar (.) reduced adjacency (SMP_2D.h:528-530); ver3 omits
+            # this term (SMP_2D_ver3.h:551).
+            q = q + (g["radj"][l][:, :, :, None]
+                     * lev["scalar"][None, None, None])
         q = q * g["smask"][l + 1][:, :, :, None]
 
         # Row-broadcast column sums: (1_s @ M)[p1, p2] = sum_p M[p, p2]
@@ -172,6 +200,13 @@ def forward(params, g, cfg: SMP2DSteerableConfig):
         if cfg.filter == "steerable":
             l1, l2 = lev["lambda1"][s], lev["lambda2"][s]      # [V, C]
             z = (l1[:, None, None, :] * q + l2[:, None, None, :] * ones_q)
+        elif cfg.filter == "concat":
+            # ver4 (SMP_2D_ver4.h:166-180): vector-lambda branches
+            # concatenated, channels double, no reducer.
+            l1, l2 = lev["lambda1"][s], lev["lambda2"][s]      # [V, C_prev]
+            z = jnp.concatenate(
+                [l1[:, None, None, :] * q, l2[:, None, None, :] * ones_q],
+                axis=-1)                                       # [V,Pp,Pp,2Cp]
         elif cfg.filter == "concat_k":
             l1, l2 = lev["lambda1"][s], lev["lambda2"][s]
             cat = jnp.concatenate(
@@ -258,24 +293,50 @@ def SMP_2D_classification(max_nVertices, nLevels, nChanels, nFeatures,
 
 def SMP_2D_ver2(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
                 momentum_param=0.9, seed=0):
-    """``SMP_2D_ver2.h``: matrix lambdas, channel growth x2 per level."""
+    """``SMP_2D_ver2.h``: matrix lambdas, channel growth x2 per level,
+    scalar (.) reduced-adjacency term (``SMP_2D_ver2.h:548-576``)."""
     return SMP2DSteerable(SMP2DSteerableConfig(
         max_nVertices, nLevels, nChanels, nFeatures, nDepth,
         filter="matrix", momentum_param=momentum_param), seed)
 
 
-SMP_2D_ver3 = SMP_2D_ver2  # ver3 differs only in training-loop details
+def SMP_2D_ver3(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+                momentum_param=0.9, seed=0):
+    """``SMP_2D_ver3.h``: ver2 WITHOUT the scalar (.) adjacency addition —
+    the filter consumes the bare quadratic sum (``SMP_2D_ver3.h:551``; ver2
+    adds quadratic_plus_adj at ``SMP_2D_ver2.h:570-587``)."""
+    return SMP2DSteerable(SMP2DSteerableConfig(
+        max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+        filter="matrix", add_scalar_adj=False,
+        momentum_param=momentum_param), seed)
 
 
 def SMP_2D_ver4(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
                 momentum_param=0.9, seed=0):
-    """``SMP_2D_ver4.h``: vector lambdas + K(2C->C) reduction."""
+    """``SMP_2D_ver4.h:130-180``: vector lambdas, the two filter branches
+    concatenated with CHANNEL GROWTH (C_l = 2 C_{l-1}); no reducer."""
+    return SMP2DSteerable(SMP2DSteerableConfig(
+        max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+        filter="concat", momentum_param=momentum_param), seed)
+
+
+def SMP_2D_ver4_classification(max_nVertices, nLevels, nChanels, nFeatures,
+                               nDepth, nClasses, momentum_param=0.9, seed=0):
+    """``SMP_2D_ver4_classification.h``."""
+    return SMP2DSteerable(SMP2DSteerableConfig(
+        max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+        filter="concat", nClasses=nClasses,
+        momentum_param=momentum_param), seed)
+
+
+def SMP_2D_ver5(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
+                momentum_param=0.9, seed=0):
+    """``SMP_2D_ver5.h:127-171``: vector lambdas, concat then K (C x 2C)
+    channel reducer (CustomMatMulTensor at ``SMP_2D_ver5.h:599-604``) —
+    constant channel width."""
     return SMP2DSteerable(SMP2DSteerableConfig(
         max_nVertices, nLevels, nChanels, nFeatures, nDepth,
         filter="concat_k", momentum_param=momentum_param), seed)
-
-
-SMP_2D_ver5 = SMP_2D_ver4  # ver5 = ver4 with the K reducer (same math here)
 
 
 def Unrestricted_SMP_2D(max_nVertices, nLevels, nChanels, nFeatures, nDepth,

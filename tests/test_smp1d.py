@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from graphflow_tpu.core.graph import DenseGraph
 from graphflow_tpu.models import (
     SMP_theta, SMP_1D, SMP_1D_classification, Unrestricted_SMP_1D,
+    SMP_1D_ver2, SMP_1D_ver3, Unrestricted_SMP_1D_ver2,
 )
 from tests.molecules import all_molecules
 
@@ -23,6 +24,12 @@ def molecules():
                   nDepth=3)),
     (Unrestricted_SMP_1D, dict(max_nVertices=10, nLevels=2, nChanels=8,
                                nFeatures=4, nDepth=3)),
+    (SMP_1D_ver2, dict(max_nVertices=10, nLevels=2, nChanels=4, nFeatures=4,
+                       nDepth=3)),
+    (SMP_1D_ver3, dict(max_nVertices=10, nLevels=2, nChanels=4, nFeatures=4,
+                       nDepth=3)),
+    (Unrestricted_SMP_1D_ver2, dict(max_nVertices=10, nLevels=2, nChanels=4,
+                                    nFeatures=4, nDepth=3)),
 ])
 def test_first_order_convergence(ctor, kwargs, molecules):
     graphs, targets = molecules
@@ -46,6 +53,24 @@ def test_theta_permutation_invariance(rng):
         perm = rng.permutation(n)
         fp = m.Feature(g.permuted(perm))
         assert np.abs(f0 - fp).sum() < 1e-3
+
+
+def test_ver2_ver3_channel_growth(molecules):
+    """ver2/ver3 double channels per level (SMP_1D_ver2.h:131); ver3 adds
+    per-level K_eye/K_one channel mixers (SMP_1D_ver3.h:142-145)."""
+    m2 = SMP_1D_ver2(max_nVertices=10, nLevels=2, nChanels=4, nFeatures=4,
+                     nDepth=2)
+    assert m2.params["W"].shape == (16,)
+    assert m2.params["levels"][1]["b"].shape[1:] == (16,)
+    assert "K_eye" not in m2.params["levels"][0]
+    m3 = SMP_1D_ver3(max_nVertices=10, nLevels=2, nChanels=4, nFeatures=4,
+                     nDepth=2)
+    assert m3.params["levels"][0]["K_eye"].shape == (4, 4)
+    assert m3.params["levels"][1]["K_one"].shape == (8, 8)
+    mu = Unrestricted_SMP_1D_ver2(max_nVertices=10, nLevels=2, nChanels=4,
+                                  nFeatures=4, nDepth=2)
+    assert mu.params["W"].shape == (16,)
+    assert "Wf1" in mu.params["levels"][0]
 
 
 def test_classification_variant(molecules):

@@ -89,14 +89,15 @@ def test_smp_save_load_roundtrip(tmp_path, molecules):
                        nChanels=4, nFeatures=4, nDepth=2)),
 ])
 def test_smp_variants_train_step(ctor, kwargs, molecules):
-    """Every contraction variant runs a step and reduces loss direction-ally."""
+    """Every contraction variant converges to a fraction of its initial
+    loss (same standard as the flagship convergence test)."""
     graphs, targets = molecules
     m = ctor(**kwargs)
     lb, _ = m.BatchLearn(graphs, targets, 0.003)
-    for _ in range(15):
+    for _ in range(120):
         _, la = m.BatchLearn(graphs, targets, 0.003)
     assert np.isfinite(la)
-    assert la < lb  # overall downward over a few steps
+    assert la < 0.2 * lb, (lb, la)
 
 
 def test_smp_physics_variant_runs():

@@ -4,8 +4,8 @@ import numpy as np
 import pytest
 
 from graphflow_tpu.models.smp2d_steerable import (
-    SMP_2D, SMP_2D_classification, SMP_2D_ver2, SMP_2D_ver4,
-    Unrestricted_SMP_2D, Unrestricted_SMP_2D_ver2,
+    SMP_2D, SMP_2D_classification, SMP_2D_ver2, SMP_2D_ver3, SMP_2D_ver4,
+    SMP_2D_ver5, Unrestricted_SMP_2D, Unrestricted_SMP_2D_ver2,
 )
 from tests.molecules import all_molecules
 
@@ -20,7 +20,11 @@ def molecules():
                   nDepth=3), 0.1),
     (SMP_2D_ver2, dict(max_nVertices=10, nLevels=2, nChanels=4, nFeatures=4,
                        nDepth=3), 0.1),
+    (SMP_2D_ver3, dict(max_nVertices=10, nLevels=2, nChanels=4, nFeatures=4,
+                       nDepth=3), 0.1),
     (SMP_2D_ver4, dict(max_nVertices=10, nLevels=2, nChanels=6, nFeatures=4,
+                       nDepth=3), 0.1),
+    (SMP_2D_ver5, dict(max_nVertices=10, nLevels=2, nChanels=6, nFeatures=4,
                        nDepth=3), 0.1),
     # the full-filter variant plateaus higher with plain Momentum
     (Unrestricted_SMP_2D, dict(max_nVertices=10, nLevels=2, nChanels=6,
@@ -58,6 +62,34 @@ def test_ver2_channel_growth(molecules):
     assert m.params["W"].shape == (4 * 2 ** 2,)
     assert m.params["levels"][0]["lambda1"].shape[1:] == (4, 4)
     assert m.params["levels"][1]["lambda1"].shape[1:] == (8, 8)
+
+
+def test_ver3_drops_scalar_adj(molecules):
+    """ver3 = ver2 without the scalar (.) adjacency term (SMP_2D_ver3.h:551):
+    no scalar parameter, and the radj entries must not influence the output
+    (checked structurally: the param is absent so grads cannot flow to it)."""
+    m2 = SMP_2D_ver2(max_nVertices=10, nLevels=1, nChanels=4, nFeatures=4,
+                     nDepth=2)
+    m3 = SMP_2D_ver3(max_nVertices=10, nLevels=1, nChanels=4, nFeatures=4,
+                     nDepth=2)
+    assert "scalar" in m2.params["levels"][0]
+    assert "scalar" not in m3.params["levels"][0]
+
+
+def test_ver4_grows_channels_ver5_constant(molecules):
+    """ver4 doubles channels (SMP_2D_ver4.h:130-138); ver5 keeps C constant
+    via the K (C x 2C) reducer (SMP_2D_ver5.h:135-137)."""
+    m4 = SMP_2D_ver4(max_nVertices=10, nLevels=2, nChanels=4, nFeatures=4,
+                     nDepth=2)
+    assert m4.params["W"].shape == (4 * 2 ** 2,)
+    assert m4.params["levels"][0]["lambda1"].shape[1:] == (4,)
+    assert m4.params["levels"][1]["lambda1"].shape[1:] == (8,)
+    assert m4.params["levels"][1]["b"].shape[1:] == (16,)
+    assert "K" not in m4.params["levels"][0]
+    m5 = SMP_2D_ver5(max_nVertices=10, nLevels=2, nChanels=4, nFeatures=4,
+                     nDepth=2)
+    assert m5.params["W"].shape == (4,)
+    assert m5.params["levels"][1]["K"].shape == (4, 8)
 
 
 def test_classification_head(molecules):
