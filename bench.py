@@ -1,26 +1,35 @@
-"""Benchmark: the fused second-order SMP layer (RisiContraction_18 + channel
-reduction) on the available accelerator.
+"""Benchmark: the second-order SMP hot path + sparse aggregation on the
+available accelerator.
 
 The reference publishes no numbers (BASELINE.md); its measurement harness is
 tests/test_RisiContraction_18_gpu.cu (kernel wall-ms + parity).  This bench
-measures the TPU contraction-bank layer at production shapes and reports
-GFLOP/s.  vs_baseline is the per-workload speedup over the ACTUAL reference
-C++ kernels (RisiContraction_18 + MatMul forward) measured on this machine by
-tools/bench_reference.cpp and recorded in BASELINE_MEASURED.json — i.e.
-"same task, reference CPU framework vs this TPU framework".
+measures, at production shapes (V=256 vertex neighborhoods, P=16, C=32):
+
+  headline  bank-from-materialized-T layer (RisiContraction_18 + channel
+            matmul), the Pallas one-layout kernel — comparable to the
+            round-1/2 records and to the reference C++ kernels measured on
+            THIS machine (tools/bench_reference.cpp, BASELINE_MEASURED.json)
+  extra     the FULL fused level step from state (gather included), f32 and
+            bf16; one training level step (fwd+bwd+param grads); ELLPACK
+            SpMM edges/s on a V=8192 graph (BASELINE.json's first metric);
+            MFU vs the chip's bf16 peak; and an ON-CHIP parity check of the
+            Pallas bank against the float64 NumPy contraction spec so a
+            fast-but-wrong kernel can never ship a number.
 
 Timing method: the TPU here sits behind a high-latency tunnel (~30 ms RTT),
-so per-call host timing is useless.  We run the layer k times inside one
-jitted lax.scan (data-dependent chain) and subtract the k=1 time — one
-dispatch, RTT cancels.  The chain carries the SMALL adjacency operand
-(262 KB), not T: carrying T costs a full 268 MB elementwise read+write of
-the carrier per link (~0.35 ms of pure methodology overhead, measured).
+so per-call host timing is useless.  We run the op k times inside one jitted
+lax.scan (data-dependent chain) and subtract the k=1 time — one dispatch,
+RTT cancels.  Chains carry a SMALL operand (carrying the big tensor costs a
+full read+write of it per link, ~0.35 ms of methodology overhead, measured —
+docs/KERNEL_NOTES.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
 import time
+
+V5E_BF16_PEAK = 197e12  # TPU v5e bf16 MXU peak FLOP/s (public spec)
 
 
 def layer_flops(B, P, C, n_cases=18):
@@ -30,65 +39,236 @@ def layer_flops(B, P, C, n_cases=18):
     return contraction + k_matmul
 
 
+def _best(f, args, reps):
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(f(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def _chain_time(make_chain, args, chain_len, reps=5):
+    """Median chained-scan timing: seconds per inner call."""
+    r1, rk = make_chain(1), make_chain(chain_len)
+    float(r1(*args))
+    float(rk(*args))
+    t1, tk = _best(r1, args, reps), _best(rk, args, reps)
+    return max((tk - t1) / (chain_len - 1), 1e-9)
+
+
+# ----------------------------------------------------------------------
+# 1. Headline: bank + K matmul from a materialized T (round-1/2 metric)
+# ----------------------------------------------------------------------
+
 def smp_layer(T, A, K, b):
     import jax.numpy as jnp
     from graphflow_tpu.ops.risi_pallas import risi18_matmul_pallas
 
-    # Single-pass one-layout Pallas kernel (fastest bank path measured:
-    # 1.18 ms vs 1.78 ms XLA einsum at these shapes, docs/KERNEL_NOTES.md);
-    # parity-tested against the brute-force spec and the reference binary.
+    # Single-pass one-layout Pallas kernel (fastest bank path measured,
+    # docs/KERNEL_NOTES.md); parity-tested against the reference binary.
     z = risi18_matmul_pallas(T, A, K) + b[None, None, :]
     return jnp.where(z > 0, z, 0.01 * z)
 
 
-def run(device, B=256, P=16, C=32, chain_len=33, reps=5):
-    """Median-of-reps chained-scan timing; returns seconds per layer call."""
+def run_bank(B=256, P=16, C=32, chain_len=33, reps=5):
     import jax
     import jax.numpy as jnp
 
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    with jax.default_device(device):
-        T = jax.random.normal(k1, (B, P, P, P, C), jnp.float32)
-        A = jnp.abs(jax.random.normal(k2, (B, P, P), jnp.float32))
-        K = jax.random.normal(k3, (18 * C, C), jnp.float32)
-        b = jax.random.normal(k4, (C,), jnp.float32)
+    T = jax.random.normal(k1, (B, P, P, P, C), jnp.float32)
+    A = jnp.abs(jax.random.normal(k2, (B, P, P), jnp.float32))
+    K = jax.random.normal(k3, (18 * C, C), jnp.float32)
+    b = jax.random.normal(k4, (C,), jnp.float32)
 
-        def chain(k):
-            @jax.jit
-            def run_fn(T, A, K, b):
-                def body(Ac, _):
-                    Z = smp_layer(T, Ac, K, b)
-                    Ac = Ac * (1.0 + 0.0 * Z.mean())
-                    return Ac, Z.mean()
-                _, zs = jax.lax.scan(body, A, None, length=k)
-                return zs.sum()
-            return run_fn
+    def chain(k):
+        @jax.jit
+        def run_fn(T, A, K, b):
+            def body(Ac, _):
+                Z = smp_layer(T, Ac, K, b)
+                Ac = Ac * (1.0 + 0.0 * Z.mean())
+                return Ac, Z.mean()
+            _, zs = jax.lax.scan(body, A, None, length=k)
+            return zs.sum()
+        return run_fn
 
-        r1, rk = chain(1), chain(chain_len)
-        float(r1(T, A, K, b))
-        float(rk(T, A, K, b))
+    return _chain_time(chain, (T, A, K, b), chain_len, reps)
 
-        def best(f):
-            ts = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                float(f(T, A, K, b))
-                ts.append(time.perf_counter() - t0)
-            return min(ts)
 
-        t1, tk = best(r1), best(rk)
-    return max((tk - t1) / (chain_len - 1), 1e-9)
+# ----------------------------------------------------------------------
+# 2. Full fused level step from state (gather included)
+# ----------------------------------------------------------------------
+
+def _level_inputs(V, P, C, dtype, seed=0):
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    state = jnp.asarray(rng.randn(V, P, P, C), dtype)
+    nbr = jnp.asarray(rng.randint(0, V, size=(V, P)), jnp.int32)
+    pos = jnp.asarray(rng.randint(0, P + 1, size=(V, P, P)), jnp.int32)
+    adj = jnp.abs(jnp.asarray(rng.randn(V, P, P), jnp.float32))
+    K = jnp.asarray(rng.randn(18 * C, C) * 0.1, dtype)
+    b = jnp.zeros((C,), dtype)
+    return state, nbr, pos, adj, K, b
+
+
+def run_level(V=256, P=16, C=32, dtype="float32", chain_len=9, reps=5):
+    """The production inference level step (state -> state), f32 = fused
+    Pallas kernel, bf16 = take-gather + Pallas bank (smp2d_states routing)."""
+    import jax
+    import jax.numpy as jnp
+
+    dt = jnp.dtype(dtype)
+    args = _level_inputs(V, P, C, dt)
+
+    def level(state, nbr, pos, adj, K, b):
+        if dt == jnp.float32:
+            from graphflow_tpu.ops.risi_fused_pallas import risi18_level
+            return risi18_level(state, nbr, pos, adj, K, b)
+        from graphflow_tpu.models.smp2d import _gather_neighbor_tensors
+        from graphflow_tpu.ops.risi_pallas import risi18_bank_train
+        sp = jnp.pad(state, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        T = _gather_neighbor_tensors(sp, nbr, pos)
+        Z = risi18_bank_train(T, adj, K).reshape(V, P * P, C) + b
+        return jnp.where(Z > 0, Z, 0.01 * Z)
+
+    def chain(k):
+        @jax.jit
+        def run_fn(state, nbr, pos, adj, K, b):
+            def body(s, _):
+                Z = level(s, nbr, pos, adj, K, b)
+                s = s * (1.0 + 0.0 * Z.astype(s.dtype).mean())
+                return s, Z.mean()
+            _, zs = jax.lax.scan(body, state, None, length=k)
+            return zs.sum()
+        return run_fn
+
+    return _chain_time(chain, args, chain_len, reps)
+
+
+def run_train_level(V=256, P=16, C=32, chain_len=9, reps=5):
+    """One training level step: fwd + bwd to state and K (the production
+    training routing: take gather + Pallas bank with Pallas backward)."""
+    import jax
+    import jax.numpy as jnp
+
+    args = _level_inputs(V, P, C, jnp.float32)
+
+    def level(state, nbr, pos, adj, K):
+        from graphflow_tpu.models.smp2d import _gather_neighbor_tensors
+        from graphflow_tpu.ops.risi_pallas import risi18_bank_train
+        sp = jnp.pad(state, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        T = _gather_neighbor_tensors(sp, nbr, pos)
+        Z = risi18_bank_train(T, adj, K).reshape(V, P * P, C)
+        return jnp.where(Z > 0, Z, 0.01 * Z)
+
+    def chain(k):
+        @jax.jit
+        def run_fn(state, nbr, pos, adj, K, b):
+            def body(carry, _):
+                s, kk = carry
+                def loss(s_, k_):
+                    return jnp.sum(level(s_, nbr, pos, adj, k_) ** 2)
+                l, (gs, gk) = jax.value_and_grad(loss, argnums=(0, 1))(s, kk)
+                return (s + 1e-12 * gs, kk + 1e-12 * gk), l
+            _, ls = jax.lax.scan(body, (state, K), None, length=k)
+            return ls.sum()
+        return run_fn
+
+    return _chain_time(chain, args, chain_len, reps)
+
+
+# ----------------------------------------------------------------------
+# 3. Sparse aggregation edges/s (BASELINE.json's first metric)
+# ----------------------------------------------------------------------
+
+def run_edges(V=8192, D=16, H=64, chain_len=65, reps=5):
+    """ELLPACK SpMM at large-graph shapes; returns (secs, edges)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from graphflow_tpu.ops.sparse import ell_spmm
+
+    rng = np.random.RandomState(0)
+    nbr = jnp.asarray(rng.randint(0, V, size=(V, D)), jnp.int32)
+    w = jnp.asarray(rng.rand(V, D), jnp.float32)
+    h = jnp.asarray(rng.randn(V, H), jnp.float32)
+
+    def chain(k):
+        @jax.jit
+        def run_fn(nbr, w, h):
+            def body(hh, _):
+                out = ell_spmm(nbr, w, hh)
+                return out, out.mean()
+            _, zs = jax.lax.scan(body, h, None, length=k)
+            return zs.sum()
+        return run_fn
+
+    secs = _chain_time(chain, (nbr, w, h), chain_len, reps)
+    return secs, V * D
+
+
+# ----------------------------------------------------------------------
+# 4. On-chip parity gate (a Mosaic regression cannot ship a fast number)
+# ----------------------------------------------------------------------
+
+def parity_check(B=16, P=16, C=32):
+    """On-chip bank parity vs the CPU einsum spec.  Uses the PRODUCTION
+    (P, C) — off-tile instantiations (e.g. P=8, C=16) take Mosaic minutes
+    to compile and are not what the bench measures anyway."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from graphflow_tpu.ops.risi_pallas import risi18_matmul_pallas
+    from graphflow_tpu.ops.contractions import risi_contraction_18
+
+    rng = np.random.RandomState(7)
+    T = rng.randn(B, P, P, P, C).astype(np.float32)
+    A = np.abs(rng.randn(B, P, P)).astype(np.float32)
+    K = (rng.randn(18 * C, C) * 0.1).astype(np.float32)
+
+    got = np.asarray(jax.jit(risi18_matmul_pallas)(
+        jnp.asarray(T), jnp.asarray(A), jnp.asarray(K))
+        ).reshape(B, P * P, C)
+    # ground truth through the einsum spec on CPU (f32, HIGHEST precision)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        Y = jax.vmap(risi_contraction_18)(jnp.asarray(T), jnp.asarray(A))
+        want = np.asarray(Y.reshape(B, P * P, 18 * C) @ jnp.asarray(K))
+    err = np.abs(got - want).max() / (np.abs(want).max() + 1e-30)
+    # DEFAULT MXU precision is bf16-level: gate at 1e-2 relative.
+    assert err < 1e-2, f"on-chip bank parity FAILED: rel err {err}"
+    return float(err)
 
 
 def main():
     import os
+    import sys
     import jax
 
+    def note(msg):
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+              flush=True)
+
     B, P, C = 256, 16, 32
-    accel = jax.devices()[0]
-    secs = run(accel, B=B, P=P, C=C)
+    note("parity gate")
+    parity_err = parity_check()
+
+    note("bank layer")
+    secs = run_bank(B=B, P=P, C=C)
     gflops = layer_flops(B, P, C) / secs / 1e9
+
+    note("level f32")
+    level_f32 = run_level(V=B, P=P, C=C, dtype="float32")
+    note("level bf16")
+    level_bf16 = run_level(V=B, P=P, C=C, dtype="bfloat16")
+    note("train level")
+    train_f32 = run_train_level(V=B, P=P, C=C)
+    note("spmm edges")
+    edge_secs, n_edges = run_edges()
+    note("done")
 
     vs_baseline = 1.0
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -100,11 +280,26 @@ def main():
             ref_per_unit = base["seconds_per_call"] / base["B"]
             vs_baseline = ref_per_unit / (secs / B)
 
+    lvl_flops = layer_flops(B, P, C)  # bank+K dominates the level step
     print(json.dumps({
         "metric": "risi18_layer_gflops",
         "value": round(gflops, 2),
         "unit": "GFLOP/s",
         "vs_baseline": round(vs_baseline, 2),
+        "extra": {
+            "bank_ms_f32": round(secs * 1e3, 3),
+            "level_step_ms_f32": round(level_f32 * 1e3, 3),
+            "level_step_gflops_f32": round(lvl_flops / level_f32 / 1e9, 2),
+            "level_step_ms_bf16": round(level_bf16 * 1e3, 3),
+            "train_level_ms_f32": round(train_f32 * 1e3, 3),
+            "train_level_gflops_f32": round(3 * lvl_flops / train_f32 / 1e9,
+                                            2),
+            "spmm_edges_per_s": round(n_edges / edge_secs / 1e6, 2),
+            "spmm_edges_unit": "Medges/s/chip (V=8192, D=16, H=64)",
+            "mfu_pct_vs_bf16_peak": round(100 * gflops * 1e9 / V5E_BF16_PEAK,
+                                          2),
+            "onchip_bank_parity_relerr": parity_err,
+        },
     }))
 
 

@@ -169,20 +169,26 @@ class PreparedGraph:
     zero-padded state tensor contributes exact zeros, which is what
     X . f . X^T produces for vertices absent from the neighbor's field.
     """
-    wl_feat: np.ndarray
-    vmask: np.ndarray
-    sizes: np.ndarray
-    nbr: np.ndarray
-    pos: np.ndarray
-    radj: np.ndarray
-    smask: np.ndarray
-    nVertices: int
+    wl_feat: Optional[np.ndarray] = None
+    vmask: Optional[np.ndarray] = None
+    sizes: Optional[np.ndarray] = None
+    nbr: Optional[np.ndarray] = None
+    pos: Optional[np.ndarray] = None
+    radj: Optional[np.ndarray] = None
+    smask: Optional[np.ndarray] = None
+    nVertices: int = 0
     # Raw per-graph payloads some heads need:
     norm_adj: Optional[np.ndarray] = None   # [V, V] Kipf-Welling, zero-padded
     adj: Optional[np.ndarray] = None        # [V, V] 0/1 adjacency, zero-padded
     sp: Optional[np.ndarray] = None         # [V, V] shortest paths (INF off-graph)
     raw_feat: Optional[np.ndarray] = None   # [V, F] raw (pre-WL) features
     dist: Optional[np.ndarray] = None       # [V, V] geometric distances, zero-pad
+    # Sparse (ELLPACK) 1-hop aggregation structures (ops/sparse.py); present
+    # only when built by prepare_graph_sparse:
+    ell_nbr: Optional[np.ndarray] = None    # [V, D] int32, sentinel V
+    ell_w: Optional[np.ndarray] = None      # [V, D] norm-adj weights
+    ell_nbr_a: Optional[np.ndarray] = None  # [V, D] 0/1-adjacency variant
+    ell_w_a: Optional[np.ndarray] = None    # [V, D]
 
 
 def prepare_graph(
@@ -289,4 +295,46 @@ def prepare_graph(
         wl_feat=wl_feat, vmask=vmask, sizes=sizes, nbr=nbr, pos=pos,
         radj=radj, smask=smask, nVertices=n,
         norm_adj=na, adj=adj_pad, sp=sp_pad, raw_feat=raw, dist=dist_pad,
+    )
+
+
+def prepare_graph_sparse(graph, max_nVertices: int,
+                         max_degree: Optional[int] = None,
+                         dtype=np.float32) -> PreparedGraph:
+    """Light host prep for the 1-hop sparse-aggregation models
+    (GCN_MW / NeuralFingerprint with ``aggregation="ell"``).
+
+    Skips the O(V^3) Floyd-Warshall and every dense [V, V] intermediate —
+    the aggregation structures are ELLPACK neighbor lists built straight
+    from the edge set (``graphflow_tpu.ops.sparse``), so graphs with
+    V >= thousands prepare in O(E).  ``graph`` is a DenseGraph or a
+    ``(nVertices, edges, features)`` tuple (the edge-list form avoids ever
+    materializing a dense adjacency on host).
+    """
+    from graphflow_tpu.ops import sparse as sparse_ops
+
+    if isinstance(graph, DenseGraph):
+        n = graph.nVertices
+        edges = [(int(u), int(v))
+                 for (u, v) in np.argwhere(np.triu(graph.adj, 1) > 0)]
+        features = graph.feature
+    else:
+        n, edges, features = graph
+    V = max_nVertices
+    assert n <= V
+    F = np.asarray(features).shape[1]
+
+    wl_feat = np.zeros((V, F), dtype=dtype)
+    wl_feat[:n] = np.asarray(features, dtype=dtype)
+    vmask = np.zeros((V,), dtype=dtype)
+    vmask[:n] = 1.0
+
+    nbr_n, w_n = sparse_ops.norm_adj_ell(n, edges, pad_rows=V,
+                                         max_degree=max_degree)
+    nbr_a, w_a = sparse_ops.ell_from_edges(n, edges, pad_rows=V,
+                                           max_degree=max_degree)
+    return PreparedGraph(
+        wl_feat=wl_feat, vmask=vmask, nVertices=n, raw_feat=wl_feat,
+        ell_nbr=nbr_n, ell_w=w_n.astype(dtype),
+        ell_nbr_a=nbr_a, ell_w_a=w_a.astype(dtype),
     )

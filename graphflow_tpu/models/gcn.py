@@ -248,11 +248,24 @@ class GCNMWConfig:
 
 
 class GCN_MW(GraphModel):
-    """``GCN_MW.h``: hidden_l = LeakyReLU(norm_adj @ hidden_{l-1} @ W_l)."""
+    """``GCN_MW.h``: hidden_l = LeakyReLU(norm_adj @ hidden_{l-1} @ W_l).
+
+    ``aggregation``: "dense" (masked [V, V] matmul — right for the tiny
+    padded molecules), "ell" (ELLPACK SpMM, ``ops/sparse.py`` — O(V D H),
+    the large-graph path; requires nDepth == 0 since the sparse prep skips
+    Floyd-Warshall), or "auto" (ell when max_nVertices >= 1024 and
+    nDepth == 0).  Both paths compute the same normalized-adjacency
+    aggregation (parity-tested)."""
 
     def __init__(self, nLevels, max_nVertices, nFeatures, nHiddens, nDepth,
-                 momentum_param=0.9, seed=0):
+                 momentum_param=0.9, seed=0, aggregation="auto"):
         super().__init__(optimizer="momentum", gamma=momentum_param)
+        if aggregation == "auto":
+            aggregation = ("ell" if max_nVertices >= 1024 and nDepth == 0
+                           else "dense")
+        if aggregation == "ell":
+            assert nDepth == 0, "ELL aggregation requires nDepth == 0"
+        self.aggregation = aggregation
         self.cfg = GCNMWConfig(nLevels, max_nVertices, nFeatures, nHiddens,
                                nDepth, momentum_param)
         from graphflow_tpu.optim.utils import uniform_init
@@ -270,17 +283,25 @@ class GCN_MW(GraphModel):
         self.param_order = [f"levels/{l}/W" for l in range(nLevels + 1)] + ["W"]
         self._finish_init()
 
-    def _prepare(self, graph: DenseGraph):
+    def _prepare(self, graph):
+        if self.aggregation == "ell":
+            return prep.prepare_graph_sparse(graph, self.cfg.max_nVertices)
         return prep.prepare_graph(graph, self.cfg.nLevels,
                                   self.cfg.max_nVertices,
                                   max_receptive_field=1,
                                   nDepth=self.cfg.nDepth)
 
     def _forward(self, params, g):
+        from graphflow_tpu.ops.sparse import ell_spmm
+
         hidden = g["wl_feat"]
-        na = g["norm_adj"]
         for lev in params["levels"]:
-            hidden = activations.leaky_relu(na @ hidden @ lev["W"])
+            if "ell_nbr" in g:
+                hidden = ell_spmm(g["ell_nbr"], g["ell_w"],
+                                  hidden @ lev["W"])
+            else:
+                hidden = g["norm_adj"] @ hidden @ lev["W"]
+            hidden = activations.leaky_relu(hidden)
             hidden = hidden * g["vmask"][:, None]
         final = hidden.sum(axis=0)                 # SumRows head (GCN_MW.h)
         return jnp.dot(final, params["W"]), final
@@ -299,9 +320,12 @@ class NeuralFingerprint(GraphModel):
     SumVectors aggregation, Softmax units, Momentum."""
 
     def __init__(self, nLevels, max_nVertices, nFeatures, nHiddens,
-                 momentum_param=0.9, seed=0):
+                 momentum_param=0.9, seed=0, aggregation="auto"):
         super().__init__(optimizer="momentum", gamma=momentum_param)
         from graphflow_tpu.optim.utils import uniform_init
+        if aggregation == "auto":
+            aggregation = "ell" if max_nVertices >= 1024 else "dense"
+        self.aggregation = aggregation
         self.nLevels, self.max_nVertices = nLevels, max_nVertices
         self.nFeatures, self.nHiddens = nFeatures, nHiddens
         keys = iter(jax.random.split(jax.random.PRNGKey(seed),
@@ -323,19 +347,28 @@ class NeuralFingerprint(GraphModel):
         self.param_order = order + ["W"]
         self._finish_init()
 
-    def _prepare(self, graph: DenseGraph):
+    def _prepare(self, graph):
+        if self.aggregation == "ell":
+            return prep.prepare_graph_sparse(graph, self.max_nVertices)
         return prep.prepare_graph(graph, self.nLevels, self.max_nVertices,
                                   max_receptive_field=1, nDepth=0,
                                   use_wl_features=False)
 
     def _forward(self, params, g):
+        from graphflow_tpu.ops.sparse import ell_spmm
+
         feat, vmask = g["raw_feat"], g["vmask"]
-        M = g["adj"] * vmask[:, None] * vmask[None, :]   # open 1-hop
+        if "ell_nbr_a" not in g:
+            M = g["adj"] * vmask[:, None] * vmask[None, :]   # open 1-hop
         hidden = activations.softmax(
             feat @ params["levels"][0]["W1"].T) * vmask[:, None]
         for l in range(1, self.nLevels + 1):
             part1 = feat @ params["levels"][l]["W1"].T
-            part2 = (M @ hidden) @ params["levels"][l]["W2"].T
+            if "ell_nbr_a" in g:
+                agg = ell_spmm(g["ell_nbr_a"], g["ell_w_a"], hidden)
+            else:
+                agg = M @ hidden
+            part2 = agg @ params["levels"][l]["W2"].T
             hidden = activations.softmax(part1 + part2) * vmask[:, None]
         final = hidden.sum(axis=0)
         return jnp.dot(final, params["W"]), final

@@ -143,21 +143,51 @@ def init_params(key, cfg: SMP2DSteerableConfig):
     return params
 
 
-def _neighbor_quadratic_sum(state, vid_prev, adj1, vid_cur, V, Pp, C):
+def _qsum_block(state_b, selp_b, adj_b):
+    """Id-space scatter + adjacency contraction for one block of source
+    vertices: returns sum_{w in block} adj[:, w] (.) (X_w f_w X_w^T)."""
+    G = jnp.einsum("wqu,wqrc->wurc", selp_b, state_b)      # [B, V, Pp, C]
+    G = jnp.einsum("wrt,wurc->wutc", selp_b, G)            # [B, V, V, C]
+    return jnp.einsum("vw,wxyc->vxyc", adj_b, G)           # [V, V, V, C]
+
+
+def _neighbor_quadratic_sum(state, vid_prev, adj1, vid_cur, V, Pp, C,
+                            block: int = 8):
     """SUM_{w in 1-hop(v)} X f_w X^T for every v, vectorized.
 
     state: [V, Pp, Pp, C] previous level, vid_prev[w, q] = phi_{l-1}(w)[q]
     (sentinel V), adj1 closed 1-hop [V, V], vid_cur[v, p] (sentinel V).
+
+    Memory: the uncapped second-order state is inherently O(V Pp^2 C) with
+    Pp = V (the reference SMP_2D keeps a |phi| x |phi| x C Tensor3D per
+    vertex with |phi| up to V — ``SMP_2D.h:523-580`` — same asymptotic);
+    what this implementation bounds is the CONSTANT: the per-w id-space
+    scatters G[w, V, V, C] are accumulated into the aggregate M over
+    ``block``-sized source chunks under ``lax.scan``, so the peak live set
+    is one aggregate + one chunk instead of three full [V, V, V, C]
+    tensors, and the whole sum is rematerialized (``jax.checkpoint`` at
+    the call site) so the backward pass stores only the level inputs.
     """
     # Scatter to vertex-id space via one-hot matmuls (sentinel V falls
     # outside the iota range -> zero selector row; TPU scatters/gathers are
     # far slower than MXU matmuls, see smp2d._gather_neighbor_tensors).
     dt = state.dtype
     selp = (vid_prev[:, :, None] == jnp.arange(V)).astype(dt)   # [V, Pp, V]
-    G = jnp.einsum("wqu,wqrc->wurc", selp, state)               # [V, V, Pp, C]
-    G = jnp.einsum("wrt,wurc->wutc", selp, G)                   # [V, V, V, C]
-    # One contraction over the neighbor axis.
-    M = jnp.einsum("vw,wxyc->vxyc", adj1, G)                    # [V, V, V, C]
+    while V % block:
+        block -= 1
+    if block >= V:
+        M = _qsum_block(state, selp, adj1)
+    else:
+        nb = V // block
+
+        def body(M, xs):
+            state_b, selp_b, adj_b = xs
+            return M + _qsum_block(state_b, selp_b, adj_b), None
+
+        xs = (state.reshape(nb, block, Pp, Pp, C),
+              selp.reshape(nb, block, Pp, V),
+              jnp.moveaxis(adj1.reshape(V, nb, block), 1, 0))
+        M, _ = jax.lax.scan(body, jnp.zeros((V, V, V, C), dt), xs)
     # Gather into phi_l(v)'s ordering (one-hot matmuls).
     selc = (vid_cur[:, :, None] == jnp.arange(V)).astype(dt)    # [V, Pp, V]
     out = jnp.einsum("vpx,vxyc->vpyc", selc, M)
@@ -184,8 +214,10 @@ def forward(params, g, cfg: SMP2DSteerableConfig):
         vid_cur = jnp.where(rm > 0, g["nbr"][l].astype(jnp.int32), V)
         s = g["sizes"][l + 1]
 
-        q = _neighbor_quadratic_sum(state, vid_prev, adj1, vid_cur, V, Pp,
-                                    C_prev)
+        # Rematerialized: the backward recomputes the quadratic sum instead
+        # of holding its O(V^3 C) intermediates as residuals.
+        q = jax.checkpoint(_neighbor_quadratic_sum, static_argnums=(4, 5, 6))(
+            state, vid_prev, adj1, vid_cur, V, Pp, C_prev)
         if cfg.add_scalar_adj:
             # + scalar (.) reduced adjacency (SMP_2D.h:528-530); ver3 omits
             # this term (SMP_2D_ver3.h:551).

@@ -379,6 +379,258 @@ def build_xsel(pos, dtype=jnp.float32):
 
 
 # ----------------------------------------------------------------------
+# v3: per-vertex grid + manual double-buffered neighbor DMA.
+# ----------------------------------------------------------------------
+#
+# The v2 kernel (grid (V, P)) is OP-ISSUE bound: 4096 grid steps x ~35
+# small Mosaic ops (docs/KERNEL_NOTES.md "Bottleneck analysis").  v3 runs
+# ONE grid step per vertex: the P neighbor blocks are fetched with
+# explicit double-buffered async copies (indices from scalar prefetch),
+# the per-slot work shrinks to just the two alignment matmul groups, and
+# every per-slot reduction (row sums, diagonals, column slices, weighted
+# sums, slot accumulators) becomes ONE batched matmul over the
+# row-stacked [N2, PC] aligned tensor — including a 4-fold column-stacked
+# masked pass whose output is 4C=128 lanes wide (full MXU lane
+# utilization, vs 25% at C=32).
+
+
+def _consts_v3(P: int, C: int, dtype=np.float32):
+    """Host constants for the v3 kernel (row layout (a b) = (slot, p1),
+    column layout (c p2) C-major)."""
+    base = _consts(P, C, dtype)
+    N2, PC = P * P, P * C
+    r = np.arange(N2)
+    p = np.arange(PC)
+    # [(a b), (c p2)] masks for the batched primitive pass:
+    #   dmask: p1 == p2   (diagonal, D_bc)
+    #   imask: p2 == a    (column-a slice, V_ac)
+    dmask = (r[:, None] % P == p[None, :] % P).astype(dtype)
+    imask = (r[:, None] // P == p[None, :] % P).astype(dtype)
+    base["dmask_big"] = dmask
+    base["imask_big"] = imask
+    # [4 PC, 4C] block-diagonal Mrow for the one fused primitive matmul
+    Mrow = base["Mrow"]
+    Mrow4 = np.zeros((4 * PC, 4 * C), dtype)
+    for k in range(4):
+        Mrow4[k * PC:(k + 1) * PC, k * C:(k + 1) * C] = Mrow
+    base["Mrow4"] = Mrow4
+    # [P, PC] expander: R_col[p] -> columns with p2 == p (for the M6 mask)
+    base["SrepP"] = (np.arange(P)[:, None] == p[None, :] % P).astype(dtype)
+    return base
+
+
+_CONST_NAMES_V3 = ("Mrow4", "dmask_big", "imask_big", "SrepP", "mask_cb2",
+                   "Sa", "Sb", "sel_rdiv", "sel_rmod", "selrdivT",
+                   "selrmodT", "blockdiag", "crossdiag", "Pswap",
+                   "dmaskT", "eyeP", "Mrow")
+
+
+def _kernel_v3(nbr_ref,                           # scalar prefetch [V*P]
+               state_hbm, xsel_ref, radj_ref,
+               K137_ref, KB_ref, KC_ref, KD_ref, b_ref,
+               Mrow4_ref, dmask_big_ref, imask_big_ref, SrepP_ref,
+               mask_cb2_ref, Sa_ref, Sb_ref, sel_rdiv_ref, sel_rmod_ref,
+               selrdivT_ref, selrmodT_ref, blockdiag_ref, crossdiag_ref,
+               Pswap_ref, dmaskT_ref, eyeP_ref, Mrow_ref,
+               out_ref,
+               buf, sem,
+               *, P, C, G, Cout, negslope, precision):
+    f32 = jnp.float32
+    v = pl.program_id(0)
+    N2, PC = P * P, P * C
+
+    def mm(x, y):
+        return jnp.dot(x, y, preferred_element_type=f32,
+                       precision=precision)
+
+    def fetch(slot, i):
+        return pltpu.make_async_copy(
+            state_hbm.at[nbr_ref[v * P + i]], buf.at[slot], sem.at[slot])
+
+    fetch(0, 0).start()
+
+    # ---- per-vertex setup -------------------------------------------------
+    Ap_raw = radj_ref[0]
+    Ap = jnp.where(Ap_raw > 0, Ap_raw, jnp.zeros_like(Ap_raw)).astype(f32)
+    onesP = jnp.ones((P, 1), f32)
+    R_col = mm(Ap, onesP)                          # [P, 1]
+    Xsel_all = xsel_ref[0]                         # [(i p1), Q8]
+
+    # ---- per-slot: align only; everything else is batched after ----------
+    # The state blocks arrive tile-padded ([Q8, F128]); the zero pad rows/
+    # columns fall out of the matmuls (Xsel has zero columns there).
+    T2s = []
+    QG = G * (P + 1)
+    for i in range(P):
+        slot = i % 2
+        if i + 1 < P:
+            fetch((i + 1) % 2, i + 1).start()
+        fetch(slot, i).wait()
+        F = buf[slot]                              # [Q8, (c q2)+pad] c-major
+        Xsel = Xsel_all[i * P:(i + 1) * P, :].astype(F.dtype)
+        A = mm(Xsel, F)                            # [P, (c q2)+pad]
+        DG = _blockdiag_kron(Xsel[:, :P + 1].T, G)  # [G(P+1), GP]
+        chunks = [mm(A[:, k * QG:(k + 1) * QG], DG.astype(A.dtype))
+                  for k in range(C // G)]
+        T2s.append(jnp.concatenate(chunks, axis=1))  # [P, (c p2)] f32
+
+    T2all = jnp.concatenate(T2s, axis=0)           # [(a b) = (i p1), PC]
+
+    # ---- batched primitives: one 4C-wide masked matmul --------------------
+    Rcw = mm(R_col.T, SrepP_ref[...])              # [1, PC]: R[p2]
+    Tstack = jnp.concatenate(
+        [T2all, T2all * dmask_big_ref[...], T2all * imask_big_ref[...],
+         T2all * Rcw], axis=1)                     # [N2, 4 PC]
+    prims = mm(Tstack, Mrow4_ref[...])             # [N2, 4C]
+    T_ab = prims[:, 0:C]                           # sum_c T[a,b,c,f]
+    D_bc = prims[:, C:2 * C]                       # T[a,b,b,f]
+    V_ac = prims[:, 2 * C:3 * C]                   # T[a,b,a,f]
+    M6 = prims[:, 3 * C:4 * C]                     # sum_c R[c] T (case 6)
+
+    # ---- slot accumulators as two matmuls ---------------------------------
+    rowRdiv = mm(sel_rdiv_ref[...], R_col)         # [N2, 1] = R[a]
+    acc2in = jnp.concatenate([T2all, T2all * rowRdiv], axis=1)  # [N2, 2PC]
+    Sb = Sb_ref[...]
+    acc2 = mm(Sb, acc2in)                          # [P, 2PC]: [acc | accR]
+
+    # ---- assemble the 18-case bank (same algebra as v2's _assemble) -------
+    K137 = K137_ref[...].astype(f32)
+    KB = KB_ref[...].astype(f32)
+    KC = KC_ref[...].astype(f32)
+    KD = KD_ref[...].astype(f32)
+    Sa = Sa_ref[...]
+    sel_rdiv, sel_rmod = sel_rdiv_ref[...], sel_rmod_ref[...]
+    selrdivT, selrmodT = selrdivT_ref[...], selrmodT_ref[...]
+    blockdiag, crossdiag = blockdiag_ref[...], crossdiag_ref[...]
+    Pswap, mask_cb2 = Pswap_ref[...], mask_cb2_ref[...]
+    dmaskT, Mrow = dmaskT_ref[...], Mrow_ref[...]
+
+    ones_row = jnp.ones((1, N2), f32)
+    S_adj = jnp.sum(Ap)
+    trA = jnp.sum(Ap * eyeP_ref[...])
+
+    Y2 = mm(sel_rdiv, acc2) * mask_cb2             # [N2, 2 PC]
+    T_bc = mm(Y2[:, :PC], Mrow)                    # case base (3/13)
+    M10 = mm(Y2[:, PC:], Mrow)                     # case 10
+
+    T_a = mm(Sa, T_ab)                             # [P, C]
+    T_b = mm(Sb, T_ab)
+    Tdiag_bc_a = mm(Sa, D_bc)
+    D_ac_b = mm(Sb, V_ac)
+    T_full = mm(ones_row, T_ab)                    # [1, C]
+    s14 = mm(dmaskT, T_ab)
+    s15 = mm(ones_row, D_bc)
+    t18 = mm(dmaskT, D_bc)
+    W17 = mm(Pswap, V_ac)                          # [(b e), f] T[e,b,e]
+
+    Mid = mm(sel_rmod, Ap)                         # [N2, P]: Ap[r%P, e]
+    E9 = mm(Mid, selrmodT) * blockdiag             # kron(I, Ap)
+    E12 = mm(Mid, selrdivT) * crossdiag
+    E9out = mm(E9, jnp.concatenate(
+        [T_ab, T_bc, D_bc, W17], axis=1))          # [M9|M13|M16|M17]
+    M12 = mm(E12, T_ab)
+
+    KA = S_adj * K137[0:C] + trA * K137[C:2 * C]   # cases 1, 7
+    KA3 = S_adj * K137[2 * C:3 * C]                # case 3
+    U = jnp.concatenate([T_a, T_b, Tdiag_bc_a, D_ac_b], axis=1)
+    UK = mm(U, KB)                                 # [P, Cout]
+    t_cat = jnp.concatenate([T_full, s14, s15, t18], axis=1)
+    tK = mm(t_cat, KC)                             # [1, Cout]
+    Gsel = mm(sel_rdiv, Ap)                        # [N2, P]
+    Ap_flat = mm(Gsel * sel_rmod, onesP)           # [N2, 1] = Ap[x, y]
+    rowR = mm(sel_rmod, R_col)                     # [N2, 1] = R[y]
+
+    M_big = jnp.concatenate(
+        [T_ab, T_bc, M6, M10, M12, E9out,
+         sel_rdiv * rowR, Ap_flat], axis=1)        # [N2, 9C + P + 1]
+    K_big = jnp.concatenate([KA, KA3, KD, UK, tK], axis=0)
+    Z = mm(M_big, K_big)
+
+    Z = Z + b_ref[...].astype(f32)
+    Z = jnp.where(Z > 0, Z, negslope * Z)
+    out_ref[0] = Z.astype(out_ref.dtype)
+
+
+def risi18_level_fused_v3_raw(state_cm, nbr, xsel, radj, K, b,
+                              negslope=0.01, chunk=8, interpret=False,
+                              precision=None):
+    """Per-vertex-grid fused level step (v3).  Same contract as
+    :func:`risi18_level_fused_raw`; grid (V,) with manual double-buffered
+    neighbor DMA instead of grid (V, P) with BlockSpec pipelining."""
+    V, P = nbr.shape
+    C = state_cm.shape[2] // (P + 1)
+    Cout = K.shape[1]
+    N2 = P * P
+    dt = state_cm.dtype
+    G = 1
+    while G * 2 <= chunk and C % (G * 2) == 0:
+        G *= 2
+    consts = _consts_v3(P, C)
+    const_args = [jnp.asarray(consts[n]) for n in _CONST_NAMES_V3]
+    from graphflow_tpu.ops.risi_pallas import _group_K
+    K137, KB, KC, KD = _group_K(K, C)
+
+    # Mosaic DMA slices must be tile-aligned: pad the per-vertex block to
+    # (sublane 8, lane 128) multiples.  state_cm is only ~V (P C^2) bytes
+    # (not T-sized), so the XLA pad is cheap; zero pad rows/cols are inert.
+    Q8 = -(-(P + 1) // 8) * 8
+    F128 = -(-(C * (P + 1)) // 128) * 128
+    state_cm = jnp.pad(state_cm, ((0, 0), (0, Q8 - (P + 1)),
+                                  (0, F128 - C * (P + 1))))
+    xsel = jnp.pad(xsel, ((0, 0), (0, 0), (0, Q8 - (P + 1))))
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda v, nref: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(V,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),     # state stays in HBM
+            pl.BlockSpec((1, P * P, Q8), lambda v, nref: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, P), lambda v, nref: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
+            fixed((3 * C, Cout)),
+            fixed((4 * C, Cout)),
+            fixed((4 * C, Cout)),
+            fixed((7 * C, Cout)),
+            fixed((1, Cout)),
+        ] + [fixed(consts[n].shape) for n in _CONST_NAMES_V3],
+        out_specs=pl.BlockSpec((1, N2, Cout), lambda v, nref: (v, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, Q8, F128), dt),            # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    if precision is None:
+        precision = jax.lax.Precision.DEFAULT
+    kernel = functools.partial(_kernel_v3, P=P, C=C, G=G, Cout=Cout,
+                               negslope=negslope, precision=precision)
+    flops = 2 * V * P * (P * (P + 1) * (P + 1) * C        # row align
+                         + (C // G) * P * G * G * (P + 1) * P)  # col align
+    # batched primitives (4PC -> 4C), assembly matmuls
+    flops += 2 * V * N2 * (16 * P * C + 11 * C * Cout + 2 * N2 * C)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((V, N2, Cout), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=V * P * (P + 1) * (P + 1) * C * dt.itemsize
+            + V * N2 * Cout * dt.itemsize,
+            transcendentals=0,
+        ),
+    )(nbr.reshape(V * P), state_cm, xsel, radj, K137, KB, KC, KD,
+      b.reshape(1, Cout), *const_args)
+    return out
+
+
+# ----------------------------------------------------------------------
 # Differentiable wrapper: Pallas forward, einsum-composition backward.
 # ----------------------------------------------------------------------
 
@@ -402,14 +654,16 @@ def _reference_level(state, nbr, pos, radj, K, b, negslope=0.01):
 def risi18_level(state, nbr, pos, radj, K, b, negslope=0.01):
     """Differentiable fused level step: [V,P,P,C] state -> [V, P*P, Cout].
 
-    Pallas forward (gather-fused, single HBM pass), exact XLA-composition
-    backward.  nbr/pos/radj are non-differentiable graph structure.
+    Pallas forward (gather-fused, single HBM pass; the v3 per-vertex-grid
+    kernel — 2.95 ms vs 4.28 ms for the v2 (V, P)-grid at production
+    shapes, measured on-chip), exact XLA-composition backward.
+    nbr/pos/radj are non-differentiable graph structure.
     """
     state_cm = pack_state_cm(state)
     xsel = build_xsel(pos, state.dtype)
-    return risi18_level_fused_raw(state_cm, nbr, xsel,
-                                  radj.astype(jnp.float32), K, b,
-                                  negslope=negslope)
+    return risi18_level_fused_v3_raw(state_cm, nbr, xsel,
+                                     radj.astype(jnp.float32), K, b,
+                                     negslope=negslope)
 
 
 def _fwd(state, nbr, pos, radj, K, b, negslope):

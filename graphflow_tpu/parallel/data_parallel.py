@@ -29,7 +29,7 @@ from graphflow_tpu.optim.optimizers import Optimizer
 
 
 def make_dp_train_step(per_example_loss: Callable[[Any, Any, Any], jnp.ndarray],
-                       opt: Optimizer, mesh: Mesh, axis: str = "data"):
+                       opt: Optimizer, mesh: Mesh, axis="data"):
     """Build a jitted data-parallel train step.
 
     ``per_example_loss(params, graph_arrays, target)`` is the single-graph
@@ -37,6 +37,10 @@ def make_dp_train_step(per_example_loss: Callable[[Any, Any, Any], jnp.ndarray],
     batch, lr)`` expects ``batch`` sharded along the leading axis over
     ``axis`` (or will be resharded by jit's in_shardings) and returns
     (params, opt_state, total_loss) with params/state replicated.
+
+    ``axis`` may be a tuple of mesh axis names — e.g. ``("host", "data")``
+    on a hybrid DCN x ICI mesh (``mesh.make_hybrid_mesh``), which shards the
+    batch over both and psums gradients across hosts AND chips.
     """
 
     def shard_loss(params, batch):
@@ -53,6 +57,9 @@ def make_dp_train_step(per_example_loss: Callable[[Any, Any, Any], jnp.ndarray],
         per_shard, mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=(P(), P()),
+        # Pallas calls inside the loss don't annotate vma on their
+        # out_shapes; skip the varying-mesh-axes check.
+        check_vma=False,
     )
 
     @jax.jit
@@ -66,7 +73,7 @@ def make_dp_train_step(per_example_loss: Callable[[Any, Any, Any], jnp.ndarray],
     return step
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+def shard_batch(batch, mesh: Mesh, axis="data"):
     """Device-put a stacked GraphBatch with its leading axis sharded."""
     sh = NamedSharding(mesh, P(axis))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -12,7 +12,11 @@ import jax.numpy as jnp
 import pytest
 
 from graphflow_tpu.ops.risi_fused_pallas import (
-    risi18_level_fused_raw, pack_state_cm, build_xsel, _reference_level)
+    risi18_level_fused_raw, risi18_level_fused_v3_raw, pack_state_cm,
+    build_xsel, _reference_level)
+
+_RAW_KERNELS = {"v2": risi18_level_fused_raw,
+                "v3": risi18_level_fused_v3_raw}
 
 
 def _case(V, P, C, Cout, seed=0, sentinels=True):
@@ -33,36 +37,39 @@ def _case(V, P, C, Cout, seed=0, sentinels=True):
     return state, jnp.asarray(nbr), jnp.asarray(pos), radj, K, b
 
 
+@pytest.mark.parametrize("ver", ["v2", "v3"])
 @pytest.mark.parametrize("V,P,C,Cout", [(6, 4, 8, 8), (5, 8, 8, 16),
                                         (4, 4, 16, 8)])
-def test_fused_level_parity(V, P, C, Cout):
+def test_fused_level_parity(V, P, C, Cout, ver):
     state, nbr, pos, radj, K, b = _case(V, P, C, Cout)
     ref = np.asarray(_reference_level(state, nbr, pos, radj, K, b))
-    got = np.asarray(risi18_level_fused_raw(
+    got = np.asarray(_RAW_KERNELS[ver](
         pack_state_cm(state), nbr, build_xsel(pos), radj, K, b,
         interpret=True))
     scale = max(np.abs(ref).max(), 1.0)
     assert np.abs(ref - got).max() < 1e-4 * scale
 
 
-def test_fused_level_zero_adjacency_guard():
+@pytest.mark.parametrize("ver", ["v2", "v3"])
+def test_fused_level_zero_adjacency_guard(ver):
     """All-negative adjacency must zero every adjacency-weighted case."""
     state, nbr, pos, radj, K, b = _case(5, 4, 8, 8, seed=3)
     radj = -jnp.abs(radj) - 0.1
     ref = np.asarray(_reference_level(state, nbr, pos, radj, K, b))
-    got = np.asarray(risi18_level_fused_raw(
+    got = np.asarray(_RAW_KERNELS[ver](
         pack_state_cm(state), nbr, build_xsel(pos), radj, K, b,
         interpret=True))
     assert np.abs(ref - got).max() < 1e-4 * max(np.abs(ref).max(), 1.0)
 
 
-def test_fused_level_all_sentinel_slots():
+@pytest.mark.parametrize("ver", ["v2", "v3"])
+def test_fused_level_all_sentinel_slots(ver):
     """A vertex with an empty receptive field contributes bias-only rows."""
     state, nbr, pos, radj, K, b = _case(4, 4, 8, 8, seed=5)
     nbr = nbr.at[2, :].set(4)          # vertex 2: all neighbors absent
     pos = pos.at[2, :, :].set(4)
     ref = np.asarray(_reference_level(state, nbr, pos, radj, K, b))
-    got = np.asarray(risi18_level_fused_raw(
+    got = np.asarray(_RAW_KERNELS[ver](
         pack_state_cm(state), nbr, build_xsel(pos), radj, K, b,
         interpret=True))
     assert np.abs(ref - got).max() < 1e-4 * max(np.abs(ref).max(), 1.0)

@@ -1,5 +1,7 @@
-"""Partitioned-graph execution tests: vertex sharding + halo exchange must be
-exact vs the single-device forward (8-way virtual CPU mesh)."""
+"""Partitioned-graph execution tests: vertex sharding + targeted halo
+exchange must be exact vs the single-device forward AND the partitioned
+train step must be exact vs the single-device train step (8-way virtual
+CPU mesh)."""
 
 import numpy as np
 import pytest
@@ -9,9 +11,12 @@ import jax.numpy as jnp
 from graphflow_tpu.core import prep
 from graphflow_tpu.models.smp2d import SMP2DConfig, init_smp2d_params, \
     smp2d_forward
+from graphflow_tpu.optim.optimizers import make_optimizer
+from graphflow_tpu.ops import losses
 from graphflow_tpu.parallel import mesh as mesh_lib
 from graphflow_tpu.parallel.partition import (
-    plan_partition, make_partitioned_forward, shard_inputs,
+    plan_partition, plan_partition_batch, make_partitioned_forward,
+    make_partitioned_train_step, shard_inputs,
 )
 from graphflow_tpu.utils.datasets import random_graph
 from graphflow_tpu.core import batching
@@ -36,16 +41,32 @@ def test_plan_partition_shapes(setup):
     _, cfg, _, pg = setup
     plan = plan_partition(pg, N_SHARDS)
     assert plan.Vs == cfg.max_nVertices // N_SHARDS
-    assert plan.exp_idx.shape == (N_SHARDS, plan.H)
+    assert len(plan.shift_sizes) == N_SHARDS - 1
     # remapped neighbor indices stay in the extended buffer range
-    assert plan.nbr_loc.max() < plan.Vs + N_SHARDS * plan.H
+    assert plan.nbr_loc.max() < plan.Vs + sum(plan.shift_sizes)
+    assert plan.nbr_ag.max() < plan.Vs + N_SHARDS * plan.H
+    # interior prefix really is interior: rows [0, Vi) only reference local
+    Vi = plan.n_interior
+    if Vi > 0:
+        assert plan.nbr_loc[:, :, :, :Vi, :].max() < plan.Vs
 
 
-def test_partitioned_forward_matches_single_device(setup):
+def test_targeted_halo_is_smaller(setup):
+    """The whole point: per-pair exchange receives fewer rows than the
+    all_gather broadcast of every shard's full export union."""
+    _, _, _, pg = setup
+    plan = plan_partition(pg, N_SHARDS)
+    assert plan.rows_targeted < plan.rows_allgather
+    # and less than full replication of the vertex set
+    assert plan.rows_targeted < pg.vmask.shape[0]
+
+
+@pytest.mark.parametrize("halo", ["targeted", "all_gather"])
+def test_partitioned_forward_matches_single_device(setup, halo):
     _, cfg, params, pg = setup
     plan = plan_partition(pg, N_SHARDS)
     m = mesh_lib.make_mesh({"graph": N_SHARDS}, devices=jax.devices("cpu"))
-    fwd = make_partitioned_forward(cfg, plan, m)
+    fwd = make_partitioned_forward(cfg, plan, m, halo=halo)
     pred_p, feat_p = fwd(params, shard_inputs(plan))
 
     batch = batching.stack_graphs([pg])
@@ -57,12 +78,47 @@ def test_partitioned_forward_matches_single_device(setup):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_partition_exchanges_only_boundary(setup):
-    """The halo must be a strict subset of vertices (scalability sanity)."""
-    _, _, _, pg = setup
-    plan = plan_partition(pg, N_SHARDS)
-    total_exported = int(plan.exp_mask.sum())
-    assert total_exported < pg.vmask.shape[0]  # less than full replication
+def test_partitioned_train_step_matches_single_device(setup):
+    """One step on a 2x4 data x graph mesh == one step of the single-device
+    batched train step (same params, same optimizer)."""
+    _, cfg, params, _ = setup
+    n_data, n_graph = 2, 4
+    V = cfg.max_nVertices
+    graphs = [random_graph(V, 0.25, seed=s) for s in (5, 6, 7, 8)]
+    targets = np.array([float(g.nVertices) for g in graphs], np.float32)
+    pgs = [prep.prepare_graph(g, cfg.nLevels, V, cfg.max_receptive_field,
+                              cfg.nDepth) for g in graphs]
+
+    plan = plan_partition_batch(pgs, n_graph)
+    m = mesh_lib.make_mesh({"data": n_data, "graph": n_graph},
+                           devices=jax.devices("cpu"))
+    opt_p = make_optimizer("adam")
+    step = make_partitioned_train_step(cfg, plan, opt_p, m)
+    params_p, state_p, loss_p = step(
+        params, opt_p.init(params), shard_inputs(plan),
+        jnp.asarray(targets), 0.01)
+
+    # single-device reference step
+    opt_s = make_optimizer("adam")
+    batch = batching.stack_graphs(pgs, targets)
+
+    def batch_loss(p):
+        def one(g, t):
+            pred, _ = smp2d_forward(p, g, cfg)
+            return losses.squared_loss(pred, t)
+        return jax.vmap(one)(batch, batch["target"]).sum()
+
+    loss_s, grads = jax.value_and_grad(batch_loss)(params)
+    params_s, _ = opt_s.update(params, opt_s.init(params), grads, 0.01,
+                               nBatch=len(graphs))
+
+    np.testing.assert_allclose(float(loss_p), float(loss_s), rtol=1e-4)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params_p),
+            jax.tree_util.tree_leaves_with_path(params_s)):
+        # f32 psum reassociation noise passes through Adam's m/sqrt(v)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5, err_msg=str(ka))
 
 
 def test_partitioned_gradients_flow(setup):
