@@ -150,19 +150,17 @@ def run_level(V=256, P=16, C=32, dtype="float32", chain_len=9, reps=5):
 
 def run_train_level(V=256, P=16, C=32, chain_len=9, reps=5):
     """One training level step: fwd + bwd to state and K (the production
-    training routing: take gather + Pallas bank with Pallas backward)."""
+    f32 training routing: the fully fused v3t path — Pallas forward with
+    T2 residual, Pallas backward, one-hot-matmul scatter)."""
     import jax
     import jax.numpy as jnp
 
     args = _level_inputs(V, P, C, jnp.float32)
 
     def level(state, nbr, pos, adj, K):
-        from graphflow_tpu.models.smp2d import _gather_neighbor_tensors
-        from graphflow_tpu.ops.risi_pallas import risi18_bank_train
-        sp = jnp.pad(state, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        T = _gather_neighbor_tensors(sp, nbr, pos)
-        Z = risi18_bank_train(T, adj, K).reshape(V, P * P, C)
-        return jnp.where(Z > 0, Z, 0.01 * Z)
+        from graphflow_tpu.ops.risi_fused_pallas import risi18_level_train
+        b = jnp.zeros((C,), state.dtype)
+        return risi18_level_train(state, nbr, pos, adj, K, b)
 
     def chain(k):
         @jax.jit

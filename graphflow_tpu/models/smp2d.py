@@ -215,6 +215,7 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None,
 
     use_fused = cfg.use_fused_kernel
     use_bank_train = False
+    use_fused_train = False
     if use_fused is None:
         dev = jax.config.jax_default_device
         platform = dev.platform if dev is not None else jax.default_backend()
@@ -223,19 +224,26 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None,
                      and jnp.dtype(cfg.dtype) in (jnp.dtype(jnp.float32),
                                                   jnp.dtype(jnp.bfloat16)))
         bf16 = jnp.dtype(cfg.dtype) == jnp.dtype(jnp.bfloat16)
-        # f32 inference: the gather-fused level kernel wins (4.34 vs 4.80
-        # ms); bf16 and all training: flat-take gather + the Pallas bank
-        # (fwd 3.48 ms bf16; fwd+bwd 12.5/9.8 ms) — tools/bench_layer.py,
-        # tools/bench_train_step.py.
+        # f32 inference: the v3 gather-fused level kernel (2.95 ms/level);
+        # f32 training: the fully fused v3t path (Pallas fwd emitting the
+        # aligned T2 residual + Pallas bwd + one-hot-matmul scatter,
+        # 7.06 ms vs 12.31 ms for gather+bank) — docs/KERNEL_NOTES.md.
+        # bf16: flat-take gather + the Pallas bank (fwd 3.48 ms).
         use_fused = pallas_ok and not training and not bf16
-        use_bank_train = pallas_ok and (training or bf16)
+        # v3t slices per-slot values at sublane offsets i*P (8-aligned
+        # only); small receptive fields train via the Pallas bank instead.
+        use_fused_train = (pallas_ok and training and not bf16
+                           and cfg.P % 8 == 0)
+        use_bank_train = pallas_ok and (bf16 or (training
+                                                 and not use_fused_train))
 
     for l in range(cfg.nLevels):
         Kl, bl = params["levels"][l]["K"], params["levels"][l]["b"]
-        if use_fused:
-            from graphflow_tpu.ops.risi_fused_pallas import risi18_level
-            Z = risi18_level(state, g["nbr"][l], g["pos"][l],
-                             g["radj"][l], Kl, bl)
+        if use_fused or use_fused_train:
+            from graphflow_tpu.ops.risi_fused_pallas import (
+                risi18_level, risi18_level_train)
+            fn = risi18_level_train if use_fused_train else risi18_level
+            Z = fn(state, g["nbr"][l], g["pos"][l], g["radj"][l], Kl, bl)
             state = Z.reshape(V, P, P, C) * g["smask"][l + 1][:, :, :, None]
             states.append(state)
             continue

@@ -425,6 +425,91 @@ _CONST_NAMES_V3 = ("Mrow4", "dmask_big", "imask_big", "SrepP", "mask_cb2",
                    "dmaskT", "eyeP", "Mrow")
 
 
+def _v3_quantities(T2all, Ap, cr, P, C, mm):
+    """All T-reductions + assembly inputs from the row-stacked aligned
+    tensor (shared by the v3 forward and the fused-training backward).
+
+    cr: dict of const REFS (read lazily).  Returns a dict of everything
+    the assembly and its adjoint need.
+    """
+    f32 = jnp.float32
+    N2, PC = P * P, P * C
+    onesP = jnp.ones((P, 1), f32)
+    ones_row = jnp.ones((1, N2), f32)
+    R_col = mm(Ap, onesP)                          # [P, 1]
+
+    Rcw = mm(R_col.T, cr["SrepP"][...])            # [1, PC]: R[p2]
+    dmask_big = cr["dmask_big"][...]
+    imask_big = cr["imask_big"][...]
+    Tstack = jnp.concatenate(
+        [T2all, T2all * dmask_big, T2all * imask_big,
+         T2all * Rcw], axis=1)                     # [N2, 4 PC]
+    prims = mm(Tstack, cr["Mrow4"][...])           # [N2, 4C]
+    T_ab = prims[:, 0:C]                           # sum_c T[a,b,c,f]
+    D_bc = prims[:, C:2 * C]                       # T[a,b,b,f]
+    V_ac = prims[:, 2 * C:3 * C]                   # T[a,b,a,f]
+    M6 = prims[:, 3 * C:4 * C]                     # sum_c R[c] T (case 6)
+
+    sel_rdiv, sel_rmod = cr["sel_rdiv"][...], cr["sel_rmod"][...]
+    rowRdiv = mm(sel_rdiv, R_col)                  # [N2, 1] = R[a]
+    acc2in = jnp.concatenate([T2all, T2all * rowRdiv], axis=1)  # [N2, 2PC]
+    Sb = cr["Sb"][...]
+    acc2 = mm(Sb, acc2in)                          # [P, 2PC]: [acc | accR]
+
+    Sa = cr["Sa"][...]
+    mask_cb2 = cr["mask_cb2"][...]
+    dmaskT, Mrow = cr["dmaskT"][...], cr["Mrow"][...]
+    Pswap = cr["Pswap"][...]
+    S_adj = jnp.sum(Ap)
+    trA = jnp.sum(Ap * cr["eyeP"][...])
+
+    Y2 = mm(sel_rdiv, acc2) * mask_cb2             # [N2, 2 PC]
+    T_bc = mm(Y2[:, :PC], Mrow)                    # case base (3/13)
+    M10 = mm(Y2[:, PC:], Mrow)                     # case 10
+
+    T_a = mm(Sa, T_ab)                             # [P, C]
+    T_b = mm(Sb, T_ab)
+    Tdiag_bc_a = mm(Sa, D_bc)
+    D_ac_b = mm(Sb, V_ac)
+    T_full = mm(ones_row, T_ab)                    # [1, C]
+    s14 = mm(dmaskT, T_ab)
+    s15 = mm(ones_row, D_bc)
+    t18 = mm(dmaskT, D_bc)
+    W17 = mm(Pswap, V_ac)                          # [(b e), f] T[e,b,e]
+
+    Mid = mm(sel_rmod, Ap)                         # [N2, P]: Ap[r%P, e]
+    E9 = mm(Mid, cr["selrmodT"][...]) * cr["blockdiag"][...]
+    E12 = mm(Mid, cr["selrdivT"][...]) * cr["crossdiag"][...]
+    E9out = mm(E9, jnp.concatenate(
+        [T_ab, T_bc, D_bc, W17], axis=1))          # [M9|M13|M16|M17]
+    M12 = mm(E12, T_ab)
+
+    U = jnp.concatenate([T_a, T_b, Tdiag_bc_a, D_ac_b], axis=1)
+    t_cat = jnp.concatenate([T_full, s14, s15, t18], axis=1)
+    Gsel = mm(sel_rdiv, Ap)                        # [N2, P]
+    Ap_flat = mm(Gsel * sel_rmod, onesP)           # [N2, 1] = Ap[x, y]
+    rowR = mm(sel_rmod, R_col)                     # [N2, 1] = R[y]
+
+    M_big = jnp.concatenate(
+        [T_ab, T_bc, M6, M10, M12, E9out,
+         sel_rdiv * rowR, Ap_flat], axis=1)        # [N2, 9C + P + 1]
+    return dict(M_big=M_big, U=U, t_cat=t_cat, E9=E9, E12=E12,
+                S_adj=S_adj, trA=trA, R_col=R_col, Rcw=Rcw,
+                rowRdiv=rowRdiv, dmask_big=dmask_big, imask_big=imask_big,
+                sel_rdiv=sel_rdiv, Sb=Sb, Sa=Sa, Pswap=Pswap,
+                mask_cb2=mask_cb2, Mrow=Mrow, dmaskT=dmaskT,
+                ones_row=ones_row)
+
+
+def _v3_kbig(q, K137, KB, KC, KD, C, mm):
+    """Runtime right-hand factor of the fused assembly matmul."""
+    KA = q["S_adj"] * K137[0:C] + q["trA"] * K137[C:2 * C]   # cases 1, 7
+    KA3 = q["S_adj"] * K137[2 * C:3 * C]                     # case 3
+    UK = mm(q["U"], KB)                                      # [P, Cout]
+    tK = mm(q["t_cat"], KC)                                  # [1, Cout]
+    return jnp.concatenate([KA, KA3, KD, UK, tK], axis=0)
+
+
 def _kernel_v3(nbr_ref,                           # scalar prefetch [V*P]
                state_hbm, xsel_ref, radj_ref,
                K137_ref, KB_ref, KC_ref, KD_ref, b_ref,
@@ -434,7 +519,7 @@ def _kernel_v3(nbr_ref,                           # scalar prefetch [V*P]
                Pswap_ref, dmaskT_ref, eyeP_ref, Mrow_ref,
                out_ref,
                buf, sem,
-               *, P, C, G, Cout, negslope, precision):
+               *, P, C, G, Cout, negslope, precision, t2_ref=None):
     f32 = jnp.float32
     v = pl.program_id(0)
     N2, PC = P * P, P * C
@@ -452,8 +537,6 @@ def _kernel_v3(nbr_ref,                           # scalar prefetch [V*P]
     # ---- per-vertex setup -------------------------------------------------
     Ap_raw = radj_ref[0]
     Ap = jnp.where(Ap_raw > 0, Ap_raw, jnp.zeros_like(Ap_raw)).astype(f32)
-    onesP = jnp.ones((P, 1), f32)
-    R_col = mm(Ap, onesP)                          # [P, 1]
     Xsel_all = xsel_ref[0]                         # [(i p1), Q8]
 
     # ---- per-slot: align only; everything else is batched after ----------
@@ -475,76 +558,22 @@ def _kernel_v3(nbr_ref,                           # scalar prefetch [V*P]
         T2s.append(jnp.concatenate(chunks, axis=1))  # [P, (c p2)] f32
 
     T2all = jnp.concatenate(T2s, axis=0)           # [(a b) = (i p1), PC]
+    if t2_ref is not None:
+        t2_ref[0] = T2all.astype(t2_ref.dtype)
 
-    # ---- batched primitives: one 4C-wide masked matmul --------------------
-    Rcw = mm(R_col.T, SrepP_ref[...])              # [1, PC]: R[p2]
-    Tstack = jnp.concatenate(
-        [T2all, T2all * dmask_big_ref[...], T2all * imask_big_ref[...],
-         T2all * Rcw], axis=1)                     # [N2, 4 PC]
-    prims = mm(Tstack, Mrow4_ref[...])             # [N2, 4C]
-    T_ab = prims[:, 0:C]                           # sum_c T[a,b,c,f]
-    D_bc = prims[:, C:2 * C]                       # T[a,b,b,f]
-    V_ac = prims[:, 2 * C:3 * C]                   # T[a,b,a,f]
-    M6 = prims[:, 3 * C:4 * C]                     # sum_c R[c] T (case 6)
-
-    # ---- slot accumulators as two matmuls ---------------------------------
-    rowRdiv = mm(sel_rdiv_ref[...], R_col)         # [N2, 1] = R[a]
-    acc2in = jnp.concatenate([T2all, T2all * rowRdiv], axis=1)  # [N2, 2PC]
-    Sb = Sb_ref[...]
-    acc2 = mm(Sb, acc2in)                          # [P, 2PC]: [acc | accR]
-
-    # ---- assemble the 18-case bank (same algebra as v2's _assemble) -------
-    K137 = K137_ref[...].astype(f32)
-    KB = KB_ref[...].astype(f32)
-    KC = KC_ref[...].astype(f32)
-    KD = KD_ref[...].astype(f32)
-    Sa = Sa_ref[...]
-    sel_rdiv, sel_rmod = sel_rdiv_ref[...], sel_rmod_ref[...]
-    selrdivT, selrmodT = selrdivT_ref[...], selrmodT_ref[...]
-    blockdiag, crossdiag = blockdiag_ref[...], crossdiag_ref[...]
-    Pswap, mask_cb2 = Pswap_ref[...], mask_cb2_ref[...]
-    dmaskT, Mrow = dmaskT_ref[...], Mrow_ref[...]
-
-    ones_row = jnp.ones((1, N2), f32)
-    S_adj = jnp.sum(Ap)
-    trA = jnp.sum(Ap * eyeP_ref[...])
-
-    Y2 = mm(sel_rdiv, acc2) * mask_cb2             # [N2, 2 PC]
-    T_bc = mm(Y2[:, :PC], Mrow)                    # case base (3/13)
-    M10 = mm(Y2[:, PC:], Mrow)                     # case 10
-
-    T_a = mm(Sa, T_ab)                             # [P, C]
-    T_b = mm(Sb, T_ab)
-    Tdiag_bc_a = mm(Sa, D_bc)
-    D_ac_b = mm(Sb, V_ac)
-    T_full = mm(ones_row, T_ab)                    # [1, C]
-    s14 = mm(dmaskT, T_ab)
-    s15 = mm(ones_row, D_bc)
-    t18 = mm(dmaskT, D_bc)
-    W17 = mm(Pswap, V_ac)                          # [(b e), f] T[e,b,e]
-
-    Mid = mm(sel_rmod, Ap)                         # [N2, P]: Ap[r%P, e]
-    E9 = mm(Mid, selrmodT) * blockdiag             # kron(I, Ap)
-    E12 = mm(Mid, selrdivT) * crossdiag
-    E9out = mm(E9, jnp.concatenate(
-        [T_ab, T_bc, D_bc, W17], axis=1))          # [M9|M13|M16|M17]
-    M12 = mm(E12, T_ab)
-
-    KA = S_adj * K137[0:C] + trA * K137[C:2 * C]   # cases 1, 7
-    KA3 = S_adj * K137[2 * C:3 * C]                # case 3
-    U = jnp.concatenate([T_a, T_b, Tdiag_bc_a, D_ac_b], axis=1)
-    UK = mm(U, KB)                                 # [P, Cout]
-    t_cat = jnp.concatenate([T_full, s14, s15, t18], axis=1)
-    tK = mm(t_cat, KC)                             # [1, Cout]
-    Gsel = mm(sel_rdiv, Ap)                        # [N2, P]
-    Ap_flat = mm(Gsel * sel_rmod, onesP)           # [N2, 1] = Ap[x, y]
-    rowR = mm(sel_rmod, R_col)                     # [N2, 1] = R[y]
-
-    M_big = jnp.concatenate(
-        [T_ab, T_bc, M6, M10, M12, E9out,
-         sel_rdiv * rowR, Ap_flat], axis=1)        # [N2, 9C + P + 1]
-    K_big = jnp.concatenate([KA, KA3, KD, UK, tK], axis=0)
-    Z = mm(M_big, K_big)
+    cr = {"Mrow4": Mrow4_ref, "dmask_big": dmask_big_ref,
+          "imask_big": imask_big_ref, "SrepP": SrepP_ref,
+          "mask_cb2": mask_cb2_ref, "Sa": Sa_ref, "Sb": Sb_ref,
+          "sel_rdiv": sel_rdiv_ref, "sel_rmod": sel_rmod_ref,
+          "selrdivT": selrdivT_ref, "selrmodT": selrmodT_ref,
+          "blockdiag": blockdiag_ref, "crossdiag": crossdiag_ref,
+          "Pswap": Pswap_ref, "dmaskT": dmaskT_ref, "eyeP": eyeP_ref,
+          "Mrow": Mrow_ref}
+    q = _v3_quantities(T2all, Ap, cr, P, C, mm)
+    K_big = _v3_kbig(q, K137_ref[...].astype(f32), KB_ref[...].astype(f32),
+                     KC_ref[...].astype(f32), KD_ref[...].astype(f32),
+                     C, mm)
+    Z = mm(q["M_big"], K_big)
 
     Z = Z + b_ref[...].astype(f32)
     Z = jnp.where(Z > 0, Z, negslope * Z)
@@ -553,10 +582,14 @@ def _kernel_v3(nbr_ref,                           # scalar prefetch [V*P]
 
 def risi18_level_fused_v3_raw(state_cm, nbr, xsel, radj, K, b,
                               negslope=0.01, chunk=8, interpret=False,
-                              precision=None):
+                              precision=None, save_t2=False):
     """Per-vertex-grid fused level step (v3).  Same contract as
     :func:`risi18_level_fused_raw`; grid (V,) with manual double-buffered
-    neighbor DMA instead of grid (V, P) with BlockSpec pipelining."""
+    neighbor DMA instead of grid (V, P) with BlockSpec pipelining.
+
+    ``save_t2=True`` additionally emits the row-stacked aligned tensor
+    T2all [V, P*P, P*C] (the training path's residual: the backward kernel
+    consumes it instead of re-running the gather+alignment)."""
     V, P = nbr.shape
     C = state_cm.shape[2] // (P + 1)
     Cout = K.shape[1]
@@ -583,51 +616,355 @@ def risi18_level_fused_v3_raw(state_cm, nbr, xsel, radj, K, b,
         return pl.BlockSpec(shape, lambda v, nref: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(V,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),     # state stays in HBM
-            pl.BlockSpec((1, P * P, Q8), lambda v, nref: (v, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, P), lambda v, nref: (v, 0, 0),
-                         memory_space=pltpu.VMEM),
-            fixed((3 * C, Cout)),
-            fixed((4 * C, Cout)),
-            fixed((4 * C, Cout)),
-            fixed((7 * C, Cout)),
-            fixed((1, Cout)),
-        ] + [fixed(consts[n].shape) for n in _CONST_NAMES_V3],
-        out_specs=pl.BlockSpec((1, N2, Cout), lambda v, nref: (v, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, Q8, F128), dt),            # double buffer
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
+    def make_grid_spec(out_specs):
+        return pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(V,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # state stays in HBM
+                pl.BlockSpec((1, P * P, Q8), lambda v, nref: (v, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, P, P), lambda v, nref: (v, 0, 0),
+                             memory_space=pltpu.VMEM),
+                fixed((3 * C, Cout)),
+                fixed((4 * C, Cout)),
+                fixed((4 * C, Cout)),
+                fixed((7 * C, Cout)),
+                fixed((1, Cout)),
+            ] + [fixed(consts[n].shape) for n in _CONST_NAMES_V3],
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((2, Q8, F128), dt),         # double buffer
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+
+    grid_spec = make_grid_spec(
+        pl.BlockSpec((1, N2, Cout), lambda v, nref: (v, 0, 0),
+                     memory_space=pltpu.VMEM))
 
     if precision is None:
         precision = jax.lax.Precision.DEFAULT
-    kernel = functools.partial(_kernel_v3, P=P, C=C, G=G, Cout=Cout,
-                               negslope=negslope, precision=precision)
     flops = 2 * V * P * (P * (P + 1) * (P + 1) * C        # row align
                          + (C // G) * P * G * G * (P + 1) * P)  # col align
     # batched primitives (4PC -> 4C), assembly matmuls
     flops += 2 * V * N2 * (16 * P * C + 11 * C * Cout + 2 * N2 * C)
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=V * P * (P + 1) * (P + 1) * C * dt.itemsize
+        + V * N2 * Cout * dt.itemsize,
+        transcendentals=0,
+    )
+    if save_t2:
+        grid_spec = make_grid_spec([
+            pl.BlockSpec((1, N2, Cout), lambda v, nref: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N2, P * C), lambda v, nref: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ])
+
+        def kernel2(*refs):
+            # outputs come after inputs: (..., out_ref, t2_ref, buf, sem)
+            ins, (o1, o2, buf, sem) = refs[:-4], refs[-4:]
+            _kernel_v3(*ins, o1, buf, sem, P=P, C=C, G=G, Cout=Cout,
+                       negslope=negslope, precision=precision, t2_ref=o2)
+
+        out, t2 = pl.pallas_call(
+            kernel2,
+            grid_spec=grid_spec,
+            interpret=interpret,
+            out_shape=[jax.ShapeDtypeStruct((V, N2, Cout), dt),
+                       jax.ShapeDtypeStruct((V, N2, P * C), jnp.float32)],
+            cost_estimate=cost,
+        )(nbr.reshape(V * P), state_cm, xsel, radj, K137, KB, KC, KD,
+          b.reshape(1, Cout), *const_args)
+        return out, t2
+
+    kernel = functools.partial(_kernel_v3, P=P, C=C, G=G, Cout=Cout,
+                               negslope=negslope, precision=precision)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((V, N2, Cout), dt),
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=V * P * (P + 1) * (P + 1) * C * dt.itemsize
-            + V * N2 * Cout * dt.itemsize,
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
     )(nbr.reshape(V * P), state_cm, xsel, radj, K137, KB, KC, KD,
       b.reshape(1, Cout), *const_args)
     return out
+
+
+# ----------------------------------------------------------------------
+# v3t: fully fused TRAINING path — Pallas forward (v3 emitting T2all) +
+# a Pallas backward that consumes T2all and produces per-slot de-aligned
+# gradient blocks + dK in one pass; the cross-vertex scatter-add into
+# dstate is one MXU one-hot matmul in XLA.
+# ----------------------------------------------------------------------
+
+
+def _kernel_v3t_bwd(xsel_ref, radj_ref, t2_ref, g_ref,
+                    K137_ref, KB_ref, KC_ref, KD_ref,
+                    Mrow4_ref, dmask_big_ref, imask_big_ref, SrepP_ref,
+                    mask_cb2_ref, Sa_ref, Sb_ref, sel_rdiv_ref, sel_rmod_ref,
+                    selrdivT_ref, selrmodT_ref, blockdiag_ref, crossdiag_ref,
+                    Pswap_ref, dmaskT_ref, eyeP_ref, Mrow_ref,
+                    dF_ref, dK_ref,
+                    *, P, C, G, Cout, precision):
+    """Adjoint of the v3 assembly: from T2all (saved by the forward) and
+    the LeakyReLU-adjusted cotangent geff, emit per-slot de-aligned
+    gradient blocks dF[i] = Xsel_i^T (dT2_i dealigned) and accumulate dK
+    across the sequential grid.  Mirrors :func:`_v3_quantities` exactly.
+    """
+    f32 = jnp.float32
+    v = pl.program_id(0)
+    N2, PC = P * P, P * C
+    GP = G * P
+
+    def mm(x, y):
+        return jnp.dot(x, y, preferred_element_type=f32,
+                       precision=precision)
+
+    Ap_raw = radj_ref[0]
+    Ap = jnp.where(Ap_raw > 0, Ap_raw, jnp.zeros_like(Ap_raw)).astype(f32)
+    T2all = t2_ref[0].astype(f32)                  # [N2, PC]
+    g = g_ref[0].astype(f32)                       # [N2, Cout]
+    Xsel_all = xsel_ref[0]                         # [(i p1), Q8]
+
+    cr = {"Mrow4": Mrow4_ref, "dmask_big": dmask_big_ref,
+          "imask_big": imask_big_ref, "SrepP": SrepP_ref,
+          "mask_cb2": mask_cb2_ref, "Sa": Sa_ref, "Sb": Sb_ref,
+          "sel_rdiv": sel_rdiv_ref, "sel_rmod": sel_rmod_ref,
+          "selrdivT": selrdivT_ref, "selrmodT": selrmodT_ref,
+          "blockdiag": blockdiag_ref, "crossdiag": crossdiag_ref,
+          "Pswap": Pswap_ref, "dmaskT": dmaskT_ref, "eyeP": eyeP_ref,
+          "Mrow": Mrow_ref}
+    q = _v3_quantities(T2all, Ap, cr, P, C, mm)
+    K137 = K137_ref[...].astype(f32)
+    KB = KB_ref[...].astype(f32)
+    KC = KC_ref[...].astype(f32)
+    KD = KD_ref[...].astype(f32)
+    K_big = _v3_kbig(q, K137, KB, KC, KD, C, mm)
+
+    # ---- both factors of Z = M_big @ K_big depend on T --------------------
+    dK_big = mm(q["M_big"].T, g)                   # [9C + P + 1, Cout]
+    dM_big = mm(g, K_big.T)                        # [N2, 9C + P + 1]
+
+    dT_ab = dM_big[:, 0:C]
+    dT_bc = dM_big[:, C:2 * C]
+    dM6 = dM_big[:, 2 * C:3 * C]
+    dM10 = dM_big[:, 3 * C:4 * C]
+    dM12 = dM_big[:, 4 * C:5 * C]
+    dE9g = dM_big[:, 5 * C:9 * C]                  # [dM9|dM13|dM16|dM17]
+
+    dUK = dK_big[9 * C:9 * C + P]                  # [P, Cout]
+    dtK = dK_big[9 * C + P:9 * C + P + 1]          # [1, Cout]
+    dU = mm(dUK, KB.T)                             # [P, 4C]
+    dt = mm(dtK, KC.T)                             # [1, 4C]
+
+    # E9/E12 group adjoints (E9out = E9 @ [T_ab|T_bc|D_bc|W17])
+    dE9in = mm(q["E9"].T, dE9g)                    # [N2, 4C]
+    dT_ab = dT_ab + dE9in[:, 0:C] + mm(q["E12"].T, dM12)
+    dT_bc = dT_bc + dE9in[:, C:2 * C]
+    dD_bc = dE9in[:, 2 * C:3 * C]
+    dW17 = dE9in[:, 3 * C:4 * C]
+
+    # collapse-family adjoints
+    Sa, Sb = q["Sa"], q["Sb"]
+    ones_col = q["ones_row"].T                     # [N2, 1]
+    dmask_row = q["dmaskT"].T                      # [N2, 1]
+    dT_ab = (dT_ab + mm(Sa.T, dU[:, 0:C]) + mm(Sb.T, dU[:, C:2 * C])
+             + mm(ones_col, dt[:, 0:C]) + mm(dmask_row, dt[:, C:2 * C]))
+    dD_bc = (dD_bc + mm(Sa.T, dU[:, 2 * C:3 * C])
+             + mm(ones_col, dt[:, 2 * C:3 * C])
+             + mm(dmask_row, dt[:, 3 * C:4 * C]))
+    dV_ac = mm(Sb.T, dU[:, 3 * C:4 * C]) + mm(q["Pswap"].T, dW17)
+
+    # T_bc/M10 -> acc2 -> T2all
+    Mrow = q["Mrow"]
+    mask_cb = q["mask_cb2"][:, :PC]
+    dY2 = jnp.concatenate(
+        [mm(dT_bc, Mrow.T) * mask_cb, mm(dM10, Mrow.T) * mask_cb], axis=1)
+    dacc2 = mm(q["sel_rdiv"].T, dY2)               # [P, 2 PC]
+    dT2 = (mm(Sb.T, dacc2[:, :PC])
+           + mm(Sb.T, dacc2[:, PC:]) * q["rowRdiv"])
+
+    # primitives adjoint: one wide matmul, mask the four column blocks
+    dprims = jnp.concatenate([dT_ab, dD_bc, dV_ac, dM6], axis=1)  # [N2, 4C]
+    dTstack = mm(dprims, Mrow4_ref[...].T)         # [N2, 4 PC]
+    dT2 = (dT2 + dTstack[:, 0:PC]
+           + dTstack[:, PC:2 * PC] * q["dmask_big"]
+           + dTstack[:, 2 * PC:3 * PC] * q["imask_big"]
+           + dTstack[:, 3 * PC:4 * PC] * q["Rcw"])
+
+    # ---- per-slot de-alignment: dF_i = Xsel_i^T (dT2_i @ DG_i^T) ----------
+    for i in range(P):
+        Xsel = Xsel_all[i * P:(i + 1) * P, :P + 1].astype(f32)
+        DG_T = _blockdiag_kron(Xsel, G)            # [GP, G(P+1)] = DG^T
+        dT2_i = dT2[i * P:(i + 1) * P, :]
+        chunks = [mm(dT2_i[:, k * GP:(k + 1) * GP], DG_T)
+                  for k in range(C // G)]
+        dA = jnp.concatenate(chunks, axis=1)       # [P, (c q2)]
+        dF_ref[i] = mm(Xsel.T, dA).astype(dF_ref.dtype)  # [P+1, (c q2)]
+
+    # ---- dK in reference case order, accumulated over the grid ------------
+    dKA = dK_big[0:C]
+    dK1 = q["S_adj"] * dKA
+    dK7 = q["trA"] * dKA
+    dK3 = q["S_adj"] * dK_big[C:2 * C]
+    dKDs = dK_big[2 * C:9 * C]       # KD order: cases 6,10,12,9,13,16,17
+    dKB4 = mm(q["U"].T, dUK)         # cases 2, 4, 8, 11
+    dKC4 = mm(q["t_cat"].T, dtK)     # cases 5, 14, 15, 18
+    dK_full = jnp.concatenate([
+        dK1,                         # 1
+        dKB4[0:C],                   # 2
+        dK3,                         # 3
+        dKB4[C:2 * C],               # 4
+        dKC4[0:C],                   # 5
+        dKDs[0:C],                   # 6
+        dK7,                         # 7
+        dKB4[2 * C:3 * C],           # 8
+        dKDs[3 * C:4 * C],           # 9
+        dKDs[C:2 * C],               # 10
+        dKB4[3 * C:4 * C],           # 11
+        dKDs[2 * C:3 * C],           # 12
+        dKDs[4 * C:5 * C],           # 13
+        dKC4[C:2 * C],               # 14
+        dKC4[2 * C:3 * C],           # 15
+        dKDs[5 * C:6 * C],           # 16
+        dKDs[6 * C:7 * C],           # 17
+        dKC4[3 * C:4 * C],           # 18
+    ], axis=0)
+
+    @pl.when(v == 0)
+    def _():
+        dK_ref[...] = jnp.zeros_like(dK_ref)
+
+    dK_ref[...] += dK_full
+
+
+def risi18_level_v3t_bwd_raw(t2, xsel, radj, K, geff, chunk=8,
+                             interpret=False, precision=None):
+    """Run the backward kernel.  Returns (dF [(V P), P+1, (P+1)C],
+    dK [18C, Cout])."""
+    V, N2, PC = t2.shape
+    P = int(round(N2 ** 0.5))
+    C = PC // P
+    Cout = K.shape[1]
+    Q8 = xsel.shape[2]
+    G = 1
+    while G * 2 <= chunk and C % (G * 2) == 0:
+        G *= 2
+    consts = _consts_v3(P, C)
+    const_args = [jnp.asarray(consts[n]) for n in _CONST_NAMES_V3]
+    from graphflow_tpu.ops.risi_pallas import _group_K
+    K137, KB, KC, KD = _group_K(K, C)
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda v: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pl.GridSpec(
+        grid=(V,),
+        in_specs=[
+            pl.BlockSpec((1, N2, Q8), lambda v: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, P), lambda v: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N2, PC), lambda v: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N2, Cout), lambda v: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
+            fixed((3 * C, Cout)),
+            fixed((4 * C, Cout)),
+            fixed((4 * C, Cout)),
+            fixed((7 * C, Cout)),
+        ] + [fixed(consts[n].shape) for n in _CONST_NAMES_V3],
+        out_specs=[
+            pl.BlockSpec((P, P + 1, (P + 1) * C), lambda v: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
+            fixed((18 * C, Cout)),
+        ],
+    )
+
+    if precision is None:
+        precision = jax.lax.Precision.DEFAULT
+    kernel = functools.partial(_kernel_v3t_bwd, P=P, C=C, G=G, Cout=Cout,
+                               precision=precision)
+    dF, dK = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=[jax.ShapeDtypeStruct((V * P, P + 1, (P + 1) * C),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((18 * C, Cout), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * V * N2 * (40 * P * C + 30 * C * Cout + 4 * N2 * C),
+            bytes_accessed=t2.nbytes + geff.nbytes
+            + V * P * (P + 1) * (P + 1) * C * 4 + K.nbytes,
+            transcendentals=0,
+        ),
+    )(xsel, radj, t2, geff, K137, KB, KC, KD, *const_args)
+    return dF, dK
+
+
+def unpack_state_cm(dcm, V, P, C):
+    """Inverse of :func:`pack_state_cm` for gradients: [V+1, P+1, C*(P+1)]
+    channel-major -> [V, P, P, C] (pad rows/cols dropped)."""
+    d4 = dcm.reshape(dcm.shape[0], P + 1, C, P + 1).transpose(0, 1, 3, 2)
+    return d4[:V, :P, :P, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def risi18_level_train(state, nbr, pos, radj, K, b, negslope=0.01):
+    """Fused level step with PALLAS kernels in BOTH directions.
+
+    Forward: the v3 per-vertex kernel (emitting the aligned T2all as the
+    backward's residual — no gather/alignment recompute).  Backward: one
+    Pallas pass from T2all + the cotangent to per-slot de-aligned gradient
+    blocks + dK; the cross-vertex scatter-add into dstate is a single
+    one-hot MXU matmul (TPU scatters are the slow path, see
+    docs/KERNEL_NOTES.md).  f32 path; graph structure non-differentiable.
+    """
+    state_cm = pack_state_cm(state)
+    xsel = build_xsel(pos, state.dtype)
+    out, _ = risi18_level_fused_v3_raw(state_cm, nbr, xsel,
+                                       radj.astype(jnp.float32), K, b,
+                                       negslope=negslope, save_t2=True)
+    return out
+
+
+def _v3t_fwd(state, nbr, pos, radj, K, b, negslope):
+    state_cm = pack_state_cm(state)
+    xsel = build_xsel(pos, state.dtype)
+    out, t2 = risi18_level_fused_v3_raw(state_cm, nbr, xsel,
+                                        radj.astype(jnp.float32), K, b,
+                                        negslope=negslope, save_t2=True)
+    return out, (nbr, pos, radj, K, t2, out)
+
+
+def _v3t_bwd(negslope, res, g):
+    nbr, pos, radj, K, t2, out = res
+    V, P = nbr.shape
+    dt = out.dtype
+    C = t2.shape[2] // P
+    geff = (g * jnp.where(out > 0, 1.0, negslope)).astype(jnp.float32)
+    xsel = build_xsel(pos, jnp.float32)
+    Q8 = -(-(P + 1) // 8) * 8
+    xsel = jnp.pad(xsel, ((0, 0), (0, 0), (0, Q8 - (P + 1))))
+    dF, dK = risi18_level_v3t_bwd_raw(t2, xsel, radj.astype(jnp.float32),
+                                      K, geff)
+    # Cross-vertex scatter-add as a one-hot matmul over flattened blocks.
+    onehot = (nbr.reshape(-1)[:, None] == jnp.arange(V + 1)
+              ).astype(jnp.float32)                     # [V P, V+1]
+    QC = (P + 1) * (P + 1) * C
+    dcm = jnp.einsum("nu,nf->uf", onehot, dF.reshape(V * P, QC),
+                     preferred_element_type=jnp.float32)
+    dstate = unpack_state_cm(dcm.reshape(V + 1, P + 1, (P + 1) * C),
+                             V, P, C).astype(dt)
+    db = geff.sum(axis=(0, 1)).astype(K.dtype)
+    return dstate, None, None, None, dK.astype(K.dtype), db
+
+
+risi18_level_train.defvjp(_v3t_fwd, _v3t_bwd)
 
 
 # ----------------------------------------------------------------------
@@ -658,12 +995,17 @@ def risi18_level(state, nbr, pos, radj, K, b, negslope=0.01):
     kernel — 2.95 ms vs 4.28 ms for the v2 (V, P)-grid at production
     shapes, measured on-chip), exact XLA-composition backward.
     nbr/pos/radj are non-differentiable graph structure.
+
+    v3 slices per-slot values at sublane offsets i*P, which Mosaic only
+    supports 8-aligned — for P % 8 != 0 (small receptive fields) the v2
+    (V, P)-grid kernel runs instead.
     """
     state_cm = pack_state_cm(state)
     xsel = build_xsel(pos, state.dtype)
-    return risi18_level_fused_v3_raw(state_cm, nbr, xsel,
-                                     radj.astype(jnp.float32), K, b,
-                                     negslope=negslope)
+    raw = (risi18_level_fused_v3_raw if nbr.shape[1] % 8 == 0
+           else risi18_level_fused_raw)
+    return raw(state_cm, nbr, xsel, radj.astype(jnp.float32), K, b,
+               negslope=negslope)
 
 
 def _fwd(state, nbr, pos, radj, K, b, negslope):

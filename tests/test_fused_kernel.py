@@ -75,6 +75,30 @@ def test_fused_level_all_sentinel_slots(ver):
     assert np.abs(ref - got).max() < 1e-4 * max(np.abs(ref).max(), 1.0)
 
 
+def test_fused_train_path_grads_match_xla():
+    """risi18_level_train (Pallas fwd + Pallas bwd + one-hot scatter) must
+    reproduce the XLA composition's gradients exactly."""
+    from graphflow_tpu.ops.risi_fused_pallas import risi18_level_train
+    from jax.experimental.pallas import tpu as pltpu
+
+    state, nbr, pos, radj, K, b = _case(10, 4, 16, 16, seed=11)
+
+    def loss_ref(s, k, bb):
+        return (_reference_level(s, nbr, pos, radj, k, bb) ** 2).sum()
+
+    l_ref = loss_ref(state, K, b)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(state, K, b)
+    with pltpu.force_tpu_interpret_mode():
+        def loss_t(s, k, bb):
+            return (risi18_level_train(s, nbr, pos, radj, k, bb) ** 2).sum()
+        l_t = loss_t(state, K, b)
+        g_t = jax.grad(loss_t, argnums=(0, 1, 2))(state, K, b)
+    np.testing.assert_allclose(float(l_t), float(l_ref), rtol=1e-5)
+    for a, c in zip(g_ref, g_t):
+        scale = max(float(jnp.abs(a).max()), 1.0)
+        assert float(jnp.abs(a - c).max()) < 2e-5 * scale
+
+
 def test_fused_level_custom_vjp_matches_xla_grad():
     """risi18_level's VJP equals the autodiff of the XLA composition."""
     from graphflow_tpu.ops.risi_fused_pallas import risi18_level

@@ -47,6 +47,13 @@ def level_fused_recompute(state, nbr, pos, adj, K):
     return risi18_level(state, nbr, pos, adj.astype(jnp.float32), K, b)
 
 
+def level_v3t(state, nbr, pos, adj, K):
+    """Fully fused training path: Pallas fwd (T2 residual) + Pallas bwd."""
+    from graphflow_tpu.ops.risi_fused_pallas import risi18_level_train
+    b = jnp.zeros((K.shape[1],), state.dtype)
+    return risi18_level_train(state, nbr, pos, adj, K, b)
+
+
 def time_train(fn, args, chain_len=9, reps=5):
     state, nbr, pos, adj, K = args
 
@@ -102,13 +109,14 @@ def main():
                     print(f"{label:22s} {gather:16s} {name}: FAILED "
                           f"{type(e).__name__}: {str(e)[:160]}")
         smp2d._GATHER_DEFAULT = "onehot"
-        try:
-            secs = time_train(level_fused_recompute, args)
-            print(f"{'fusedlvl_recompute_bwd':39s} {name}: "
-                  f"{secs * 1e3:8.3f} ms/step")
-        except Exception as e:
-            print(f"{'fusedlvl_recompute_bwd':39s} {name}: FAILED "
-                  f"{type(e).__name__}: {str(e)[:160]}")
+        for fn, label in ((level_fused_recompute, "fusedlvl_recompute_bwd"),
+                          (level_v3t, "v3t_fused_fwd+bwd")):
+            try:
+                secs = time_train(fn, args)
+                print(f"{label:39s} {name}: {secs * 1e3:8.3f} ms/step")
+            except Exception as e:
+                print(f"{label:39s} {name}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:160]}")
 
 
 if __name__ == "__main__":
