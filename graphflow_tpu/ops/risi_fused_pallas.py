@@ -394,7 +394,7 @@ def build_xsel(pos, dtype=jnp.float32):
 # utilization, vs 25% at C=32).
 
 
-def _consts_v3(P: int, C: int, dtype=np.float32):
+def _consts_v3(P: int, C: int, G: int = 8, dtype=np.float32):
     """Host constants for the v3 kernel (row layout (a b) = (slot, p1),
     column layout (c p2) C-major)."""
     base = _consts(P, C, dtype)
@@ -416,13 +416,28 @@ def _consts_v3(P: int, C: int, dtype=np.float32):
     base["Mrow4"] = Mrow4
     # [P, PC] expander: R_col[p] -> columns with p2 == p (for the M6 mask)
     base["SrepP"] = (np.arange(P)[:, None] == p[None, :] % P).astype(dtype)
+    # 3-op per-slot kron build: DG = I_G (x) Xsel^T as
+    # (tileR @ Xsel^T @ tileC) * kmask — replaces the 12-op in-kernel
+    # concat-doubling (_blockdiag_kron); the grid is op-issue bound, so
+    # per-slot op count is the cost that matters (docs/KERNEL_NOTES.md).
+    Q = P + 1
+    base["tileR"] = np.tile(np.eye(Q, dtype=dtype), (G, 1))    # [GQ, Q]
+    base["tileC"] = np.tile(np.eye(P, dtype=dtype), (1, G))    # [P, GP]
+    gq = np.arange(G * Q) // Q
+    gp = np.arange(G * P) // P
+    base["kmask"] = (gq[:, None] == gp[None, :]).astype(dtype)  # [GQ, GP]
+    # backward twin: DG^T = I_G (x) Xsel = (tileRb @ Xsel @ tileCb) * kmaskT
+    base["tileRb"] = np.tile(np.eye(P, dtype=dtype), (G, 1))   # [GP, P]
+    base["tileCb"] = np.tile(np.eye(Q, dtype=dtype), (1, G))   # [Q, GQ]
+    base["kmaskT"] = base["kmask"].T.copy()                    # [GP, GQ]
     return base
 
 
 _CONST_NAMES_V3 = ("Mrow4", "dmask_big", "imask_big", "SrepP", "mask_cb2",
                    "Sa", "Sb", "sel_rdiv", "sel_rmod", "selrdivT",
                    "selrmodT", "blockdiag", "crossdiag", "Pswap",
-                   "dmaskT", "eyeP", "Mrow")
+                   "dmaskT", "eyeP", "Mrow",
+                   "tileR", "tileC", "kmask", "tileRb", "tileCb", "kmaskT")
 
 
 def _v3_quantities(T2all, Ap, cr, P, C, mm):
@@ -517,6 +532,8 @@ def _kernel_v3(nbr_ref,                           # scalar prefetch [V*P]
                mask_cb2_ref, Sa_ref, Sb_ref, sel_rdiv_ref, sel_rmod_ref,
                selrdivT_ref, selrmodT_ref, blockdiag_ref, crossdiag_ref,
                Pswap_ref, dmaskT_ref, eyeP_ref, Mrow_ref,
+               tileR_ref, tileC_ref, kmask_ref,
+               tileRb_ref, tileCb_ref, kmaskT_ref,
                out_ref,
                buf, sem,
                *, P, C, G, Cout, negslope, precision, t2_ref=None):
@@ -544,6 +561,9 @@ def _kernel_v3(nbr_ref,                           # scalar prefetch [V*P]
     # columns fall out of the matmuls (Xsel has zero columns there).
     T2s = []
     QG = G * (P + 1)
+    tileR = tileR_ref[...]                         # [G(P+1), P+1]
+    tileC = tileC_ref[...]                         # [P, GP]
+    kmask = kmask_ref[...]                         # [G(P+1), GP]
     for i in range(P):
         slot = i % 2
         if i + 1 < P:
@@ -552,7 +572,12 @@ def _kernel_v3(nbr_ref,                           # scalar prefetch [V*P]
         F = buf[slot]                              # [Q8, (c q2)+pad] c-major
         Xsel = Xsel_all[i * P:(i + 1) * P, :].astype(F.dtype)
         A = mm(Xsel, F)                            # [P, (c q2)+pad]
-        DG = _blockdiag_kron(Xsel[:, :P + 1].T, G)  # [G(P+1), GP]
+        # DG = I_G (x) Xsel^T in 3 ops (kernel is op-issue bound):
+        # contract tileR's Q axis against Xsel's Q axis (no transpose op).
+        tiled = jax.lax.dot_general(
+            tileR, Xsel[:, :P + 1], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=precision)  # [G(P+1), P]
+        DG = mm(tiled, tileC) * kmask              # [G(P+1), GP]
         chunks = [mm(A[:, k * QG:(k + 1) * QG], DG.astype(A.dtype))
                   for k in range(C // G)]
         T2s.append(jnp.concatenate(chunks, axis=1))  # [P, (c p2)] f32
@@ -598,7 +623,7 @@ def risi18_level_fused_v3_raw(state_cm, nbr, xsel, radj, K, b,
     G = 1
     while G * 2 <= chunk and C % (G * 2) == 0:
         G *= 2
-    consts = _consts_v3(P, C)
+    consts = _consts_v3(P, C, G)
     const_args = [jnp.asarray(consts[n]) for n in _CONST_NAMES_V3]
     from graphflow_tpu.ops.risi_pallas import _group_K
     K137, KB, KC, KD = _group_K(K, C)
@@ -707,6 +732,8 @@ def _kernel_v3t_bwd(xsel_ref, radj_ref, t2_ref, g_ref,
                     mask_cb2_ref, Sa_ref, Sb_ref, sel_rdiv_ref, sel_rmod_ref,
                     selrdivT_ref, selrmodT_ref, blockdiag_ref, crossdiag_ref,
                     Pswap_ref, dmaskT_ref, eyeP_ref, Mrow_ref,
+                    tileR_ref, tileC_ref, kmask_ref,
+                    tileRb_ref, tileCb_ref, kmaskT_ref,
                     dF_ref, dK_ref,
                     *, P, C, G, Cout, precision):
     """Adjoint of the v3 assembly: from T2all (saved by the forward) and
@@ -796,6 +823,10 @@ def _kernel_v3t_bwd(xsel_ref, radj_ref, t2_ref, g_ref,
            + dTstack[:, 3 * PC:4 * PC] * q["Rcw"])
 
     # ---- per-slot de-alignment: dF_i = Xsel_i^T (dT2_i @ DG_i^T) ----------
+    # Unlike the forward, the concat-doubling kron build is FASTER here:
+    # the backward is MXU-dense, so the VPU concats overlap with matmuls
+    # while the 3-matmul build (forward style) contends for the MXU
+    # (measured: 7.78 ms vs 7.06 ms train level with the matmul build).
     for i in range(P):
         Xsel = Xsel_all[i * P:(i + 1) * P, :P + 1].astype(f32)
         DG_T = _blockdiag_kron(Xsel, G)            # [GP, G(P+1)] = DG^T
@@ -853,7 +884,7 @@ def risi18_level_v3t_bwd_raw(t2, xsel, radj, K, geff, chunk=8,
     G = 1
     while G * 2 <= chunk and C % (G * 2) == 0:
         G *= 2
-    consts = _consts_v3(P, C)
+    consts = _consts_v3(P, C, G)
     const_args = [jnp.asarray(consts[n]) for n in _CONST_NAMES_V3]
     from graphflow_tpu.ops.risi_pallas import _group_K
     K137, KB, KC, KD = _group_K(K, C)
