@@ -115,8 +115,9 @@ def _level_inputs(V, P, C, dtype, seed=0):
 
 
 def run_level(V=256, P=16, C=32, dtype="float32", chain_len=9, reps=5):
-    """The production inference level step (state -> state), f32 = fused
-    Pallas kernel, bf16 = take-gather + Pallas bank (smp2d_states routing)."""
+    """The production inference level step (state -> state): the fused v3
+    Pallas kernel for both dtypes (bf16 tile-pads to sublane 16 and halves
+    the neighbor-DMA traffic; smp2d_states routing)."""
     import jax
     import jax.numpy as jnp
 
@@ -124,15 +125,8 @@ def run_level(V=256, P=16, C=32, dtype="float32", chain_len=9, reps=5):
     args = _level_inputs(V, P, C, dt)
 
     def level(state, nbr, pos, adj, K, b):
-        if dt == jnp.float32:
-            from graphflow_tpu.ops.risi_fused_pallas import risi18_level
-            return risi18_level(state, nbr, pos, adj, K, b)
-        from graphflow_tpu.models.smp2d import _gather_neighbor_tensors
-        from graphflow_tpu.ops.risi_pallas import risi18_bank_train
-        sp = jnp.pad(state, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        T = _gather_neighbor_tensors(sp, nbr, pos)
-        Z = risi18_bank_train(T, adj, K).reshape(V, P * P, C) + b
-        return jnp.where(Z > 0, Z, 0.01 * Z)
+        from graphflow_tpu.ops.risi_fused_pallas import risi18_level
+        return risi18_level(state, nbr, pos, adj, K, b)
 
     def chain(k):
         @jax.jit
@@ -148,14 +142,15 @@ def run_level(V=256, P=16, C=32, dtype="float32", chain_len=9, reps=5):
     return _chain_time(chain, args, chain_len, reps)
 
 
-def run_train_level(V=256, P=16, C=32, chain_len=9, reps=5):
+def run_train_level(V=256, P=16, C=32, dtype="float32", chain_len=9,
+                    reps=5):
     """One training level step: fwd + bwd to state and K (the production
-    f32 training routing: the fully fused v3t path — Pallas forward with
-    T2 residual, Pallas backward, one-hot-matmul scatter)."""
+    training routing for both dtypes: the fully fused v3t path — Pallas
+    forward with T2 residual, Pallas backward, one-hot-matmul scatter)."""
     import jax
     import jax.numpy as jnp
 
-    args = _level_inputs(V, P, C, jnp.float32)
+    args = _level_inputs(V, P, C, jnp.dtype(dtype))
 
     def level(state, nbr, pos, adj, K):
         from graphflow_tpu.ops.risi_fused_pallas import risi18_level_train
@@ -168,7 +163,8 @@ def run_train_level(V=256, P=16, C=32, chain_len=9, reps=5):
             def body(carry, _):
                 s, kk = carry
                 def loss(s_, k_):
-                    return jnp.sum(level(s_, nbr, pos, adj, k_) ** 2)
+                    out = level(s_, nbr, pos, adj, k_)
+                    return jnp.sum(out.astype(jnp.float32) ** 2)
                 l, (gs, gk) = jax.value_and_grad(loss, argnums=(0, 1))(s, kk)
                 return (s + 1e-12 * gs, kk + 1e-12 * gk), l
             _, ls = jax.lax.scan(body, (state, K), None, length=k)
@@ -264,6 +260,8 @@ def main():
     level_bf16 = run_level(V=B, P=P, C=C, dtype="bfloat16")
     note("train level")
     train_f32 = run_train_level(V=B, P=P, C=C)
+    note("train level bf16")
+    train_bf16 = run_train_level(V=B, P=P, C=C, dtype="bfloat16")
     note("spmm edges")
     edge_secs, n_edges = run_edges()
     note("done")
@@ -292,6 +290,7 @@ def main():
             "train_level_ms_f32": round(train_f32 * 1e3, 3),
             "train_level_gflops_f32": round(3 * lvl_flops / train_f32 / 1e9,
                                             2),
+            "train_level_ms_bf16": round(train_bf16 * 1e3, 3),
             "spmm_edges_per_s": round(n_edges / edge_secs / 1e6, 2),
             "spmm_edges_unit": "Medges/s/chip (V=8192, D=16, H=64)",
             "mfu_pct_vs_bf16_peak": round(100 * gflops * 1e9 / V5E_BF16_PEAK,

@@ -28,6 +28,23 @@ _STACK_FIELDS = (
 )
 
 
+def _pad_ell(f: str, vals):
+    """ELLPACK structures carry a per-graph max degree D on axis 1; pad
+    every graph to the batch max so they stack (sentinel index rows read
+    the zero pad row; weight pads are 0, so extra slots are inert)."""
+    D = max(v.shape[1] for v in vals)
+    out = []
+    for v in vals:
+        if v.shape[1] == D:
+            out.append(v)
+            continue
+        pad = np.zeros((v.shape[0], D - v.shape[1]), v.dtype)
+        if f.startswith("ell_nbr"):
+            pad += v.shape[0]                      # sentinel = pad row id V
+        out.append(np.concatenate([v, pad], axis=1))
+    return out
+
+
 def stack_graphs(graphs: Sequence[PreparedGraph], targets=None) -> GraphBatch:
     """Stack prepared graphs into one batch pytree of device arrays."""
     batch: GraphBatch = {}
@@ -35,6 +52,8 @@ def stack_graphs(graphs: Sequence[PreparedGraph], targets=None) -> GraphBatch:
         vals = [getattr(g, f) for g in graphs]
         if any(v is None for v in vals):
             continue
+        if f.startswith("ell_") and len({v.shape[1] for v in vals}) > 1:
+            vals = _pad_ell(f, vals)
         batch[f] = jnp.asarray(np.stack(vals))
     batch["nVertices"] = jnp.asarray(
         np.array([g.nVertices for g in graphs], dtype=np.int32))

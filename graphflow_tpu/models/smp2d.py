@@ -197,12 +197,12 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None,
 
     ``case_mask`` ([nContractions] multiplier) enables the sigma variant's
     per-case contraction dropout (RisiContraction_18_dropout.h).
-    ``training=True`` routes around the gather-fused inference kernel
-    (its custom VJP re-runs the XLA forward inside the backward) and
-    instead uses the XLA gather + the Pallas bank with its mirrored
-    Pallas backward (``ops.risi_pallas.risi18_bank_train``): measured
-    12.1 vs 14.3 (XLA) vs 19.4 (fused+recompute) ms fwd+bwd per level at
-    production shapes (tools/bench_train_step.py)."""
+    ``training=True`` routes to the fully fused v3t path when the
+    receptive field is tile-aligned (Pallas fwd emitting the aligned T2
+    residual + Pallas bwd; 6.48 ms fwd+bwd per level at production
+    shapes) and otherwise to the XLA gather + the Pallas bank with its
+    mirrored Pallas backward (``ops.risi_pallas.risi18_bank_train``,
+    12.1 ms) — docs/KERNEL_NOTES.md, tools/bench_train_step.py."""
     contract_fn, nCon = _CONTRACTIONS[cfg.contraction]
     # V from the data (shape-polymorphic for bucketed batching); P/C static.
     V, P, C = g["vmask"].shape[0], cfg.P, cfg.nChanels
@@ -224,18 +224,20 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None,
                      and jnp.dtype(cfg.dtype) in (jnp.dtype(jnp.float32),
                                                   jnp.dtype(jnp.bfloat16)))
         bf16 = jnp.dtype(cfg.dtype) == jnp.dtype(jnp.bfloat16)
-        # f32 inference: the v3 gather-fused level kernel (2.95 ms/level);
+        # Inference: the v3 gather-fused level kernel (f32 2.76 ms/level;
+        # bf16 routes there too when P is 16-aligned — the bf16 sublane
+        # tile — beating the take-gather+bank path, 3.37 ms);
         # f32 training: the fully fused v3t path (Pallas fwd emitting the
         # aligned T2 residual + Pallas bwd + one-hot-matmul scatter,
-        # 7.06 ms vs 12.31 ms for gather+bank) — docs/KERNEL_NOTES.md.
-        # bf16: flat-take gather + the Pallas bank (fwd 3.48 ms).
-        use_fused = pallas_ok and not training and not bf16
-        # v3t slices per-slot values at sublane offsets i*P (8-aligned
+        # 6.48 ms vs 12.31 ms for gather+bank) — docs/KERNEL_NOTES.md.
+        use_fused = (pallas_ok and not training
+                     and (cfg.P % 16 == 0 if bf16 else True))
+        # v3t slices per-slot values at sublane offsets i*P (tile-aligned
         # only); small receptive fields train via the Pallas bank instead.
-        use_fused_train = (pallas_ok and training and not bf16
-                           and cfg.P % 8 == 0)
-        use_bank_train = pallas_ok and (bf16 or (training
-                                                 and not use_fused_train))
+        use_fused_train = (pallas_ok and training
+                           and cfg.P % (16 if bf16 else 8) == 0)
+        use_bank_train = (pallas_ok and not use_fused
+                          and (bf16 or (training and not use_fused_train)))
 
     for l in range(cfg.nLevels):
         Kl, bl = params["levels"][l]["K"], params["levels"][l]["b"]

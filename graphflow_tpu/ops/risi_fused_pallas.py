@@ -575,7 +575,7 @@ def _kernel_v3(nbr_ref,                           # scalar prefetch [V*P]
         # DG = I_G (x) Xsel^T in 3 ops (kernel is op-issue bound):
         # contract tileR's Q axis against Xsel's Q axis (no transpose op).
         tiled = jax.lax.dot_general(
-            tileR, Xsel[:, :P + 1], (((1,), (1,)), ((), ())),
+            tileR, Xsel[:, :P + 1].astype(f32), (((1,), (1,)), ((), ())),
             preferred_element_type=f32, precision=precision)  # [G(P+1), P]
         DG = mm(tiled, tileC) * kmask              # [G(P+1), GP]
         chunks = [mm(A[:, k * QG:(k + 1) * QG], DG.astype(A.dtype))
@@ -629,9 +629,11 @@ def risi18_level_fused_v3_raw(state_cm, nbr, xsel, radj, K, b,
     K137, KB, KC, KD = _group_K(K, C)
 
     # Mosaic DMA slices must be tile-aligned: pad the per-vertex block to
-    # (sublane 8, lane 128) multiples.  state_cm is only ~V (P C^2) bytes
-    # (not T-sized), so the XLA pad is cheap; zero pad rows/cols are inert.
-    Q8 = -(-(P + 1) // 8) * 8
+    # (sublane, lane 128) multiples — sublane tile is 8 rows for f32,
+    # 16 for bf16.  state_cm is only ~V (P C^2) bytes (not T-sized), so
+    # the XLA pad is cheap; zero pad rows/cols are inert.
+    sub = 8 * (4 // dt.itemsize)
+    Q8 = -(-(P + 1) // sub) * sub
     F128 = -(-(C * (P + 1)) // 128) * 128
     state_cm = jnp.pad(state_cm, ((0, 0), (0, Q8 - (P + 1)),
                                   (0, F128 - C * (P + 1))))
@@ -1028,12 +1030,13 @@ def risi18_level(state, nbr, pos, radj, K, b, negslope=0.01):
     nbr/pos/radj are non-differentiable graph structure.
 
     v3 slices per-slot values at sublane offsets i*P, which Mosaic only
-    supports 8-aligned — for P % 8 != 0 (small receptive fields) the v2
-    (V, P)-grid kernel runs instead.
+    supports tile-aligned (8 rows f32, 16 rows bf16) — for smaller
+    receptive fields the v2 (V, P)-grid kernel runs instead.
     """
     state_cm = pack_state_cm(state)
     xsel = build_xsel(pos, state.dtype)
-    raw = (risi18_level_fused_v3_raw if nbr.shape[1] % 8 == 0
+    sub = 8 * (4 // state.dtype.itemsize)
+    raw = (risi18_level_fused_v3_raw if nbr.shape[1] % sub == 0
            else risi18_level_fused_raw)
     return raw(state_cm, nbr, xsel, radj.astype(jnp.float32), K, b,
                negslope=negslope)

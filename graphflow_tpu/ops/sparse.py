@@ -124,15 +124,27 @@ def ell_spmm(nbr: jnp.ndarray, w: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     V, H = h.shape
     D = nbr.shape[1]
     src = jnp.concatenate([h, jnp.zeros((1, H), h.dtype)], axis=0)
-    gathered = jnp.take(src, nbr.reshape(-1), axis=0).reshape(-1, D, H)
-    # HIGHEST precision: the op is HBM-bound (O(V D H) FLOPs on O(V D H)
-    # bytes), so full-f32 MXU passes cost ~nothing — and the default
-    # bf16-level rounding measurably destabilizes momentum training.
-    return jnp.einsum("vd,vdh->vh", w.astype(h.dtype), gathered,
-                      preferred_element_type=jnp.promote_types(h.dtype,
-                                                               jnp.float32),
-                      precision=jax.lax.Precision.HIGHEST
-                      ).astype(h.dtype)
+    # Loop over the D neighbor slots with a fused multiply-add per slot
+    # instead of materializing the [V D, H] gather and einsum-reducing:
+    # XLA streams each take straight into the accumulator, skipping one
+    # full write+read of the gathered tensor (measured on-chip at
+    # V=8192 D=16 H=64: 219 us vs 265 us, 599 vs 494 Medges/s).  The
+    # multiply-adds run elementwise in f32 — exact, no MXU rounding.
+    acc_dt = jnp.promote_types(h.dtype, jnp.float32)
+    if D > 64:
+        # Unrolling D slots bloats the program at high max-degree; fall
+        # back to the one-take + einsum form (HIGHEST so the MXU pass
+        # keeps full f32 — the op is HBM-bound, precision is free).
+        gathered = jnp.take(src, nbr.reshape(-1), axis=0).reshape(-1, D, H)
+        return jnp.einsum("vd,vdh->vh", w.astype(h.dtype), gathered,
+                          preferred_element_type=acc_dt,
+                          precision=jax.lax.Precision.HIGHEST
+                          ).astype(h.dtype)
+    acc = jnp.zeros((V, H), acc_dt)
+    wd = w.astype(acc_dt)
+    for d in range(D):
+        acc = acc + wd[:, d:d + 1] * jnp.take(src, nbr[:, d], axis=0)
+    return acc.astype(h.dtype)
 
 
 def coo_spmm(src_idx: jnp.ndarray, dst_idx: jnp.ndarray, w: jnp.ndarray,

@@ -117,3 +117,42 @@ def test_fused_level_custom_vjp_matches_xla_grad():
     for a, c in zip(g_ref, g_fused):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=2e-4, atol=2e-4)
+
+def test_fused_level_v3_bf16_parity():
+    """bf16 routes through the v3 kernel (16-row sublane tile padding);
+    output must match the f32 XLA composition at bf16 tolerance."""
+    state, nbr, pos, radj, K, b = _case(6, 16, 8, 8, seed=13)
+    ref = np.asarray(_reference_level(state, nbr, pos, radj, K, b))
+    got = np.asarray(risi18_level_fused_v3_raw(
+        pack_state_cm(state.astype(jnp.bfloat16)), nbr,
+        build_xsel(pos, jnp.bfloat16), radj,
+        K.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        interpret=True), np.float32)
+    scale = max(np.abs(ref).max(), 1.0)
+    assert np.abs(ref - got).max() < 3e-2 * scale
+
+
+def test_fused_train_path_bf16_grads_match_xla():
+    """The v3t training path in bf16 (f32 T2 residual, bf16 state/K) must
+    track the f32 XLA composition's gradients at bf16 tolerance."""
+    from graphflow_tpu.ops.risi_fused_pallas import risi18_level_train
+    from jax.experimental.pallas import tpu as pltpu
+
+    state, nbr, pos, radj, K, b = _case(6, 16, 8, 8, seed=17)
+
+    def loss_ref(s, k, bb):
+        return (_reference_level(s, nbr, pos, radj, k, bb) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(state, K, b)
+    sb, kb, bb16 = (state.astype(jnp.bfloat16), K.astype(jnp.bfloat16),
+                    b.astype(jnp.bfloat16))
+    with pltpu.force_tpu_interpret_mode():
+        def loss_t(s, k, bbb):
+            out = risi18_level_train(s, nbr, pos, radj, k, bbb)
+            return (out.astype(jnp.float32) ** 2).sum()
+        g_t = jax.grad(loss_t, argnums=(0, 1, 2))(sb, kb, bb16)
+    for a, c in zip(g_ref, g_t):
+        a32 = np.asarray(a, np.float32)
+        c32 = np.asarray(c, np.float32)
+        scale = max(np.abs(a32).max(), 1.0)
+        assert np.abs(a32 - c32).max() < 3e-2 * scale

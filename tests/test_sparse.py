@@ -113,3 +113,24 @@ def test_sparse_prepare_edge_list_form():
     assert pg.ell_nbr.shape[0] == 128
     assert pg.adj is None and pg.norm_adj is None
     assert sparse.edges_count(pg.ell_nbr_a) > 0
+
+
+def test_ell_batch_heterogeneous_degrees():
+    """Batching graphs with different max degrees through the ELL path:
+    stack_graphs pads every ELLPACK structure to the batch max degree
+    (sentinel rows / zero weights), so BatchLearn works on mixed
+    molecules exactly like the dense path."""
+    from graphflow_tpu.models.gcn import GCN_MW
+    from tests.molecules import all_molecules
+
+    graphs, targets = all_molecules()
+    dense = GCN_MW(nLevels=2, max_nVertices=8, nFeatures=4, nHiddens=6,
+                   nDepth=0, seed=3, aggregation="dense")
+    ell = GCN_MW(nLevels=2, max_nVertices=8, nFeatures=4, nHiddens=6,
+                 nDepth=0, seed=3, aggregation="ell")
+    # CH4 (deg 4) and H2O (deg 2) force different per-graph ELL widths.
+    l_dense = dense.getLoss(graphs, targets)
+    l_ell = ell.getLoss(graphs, targets)
+    np.testing.assert_allclose(l_ell, l_dense, rtol=1e-4)
+    l1 = ell.BatchLearn(graphs, targets, 0.02)
+    assert np.all(np.isfinite(np.asarray(l1)))
