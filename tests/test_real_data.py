@@ -82,3 +82,42 @@ def test_mlp_real_digits_accuracy():
             model.BatchLearn(xtr[idx].reshape(len(idx), -1), ytr[idx], 0.003)
     acc = model.accuracy(xte.reshape(len(yte), -1), yte)
     assert acc >= 0.95, f"test accuracy {acc:.3f} < 0.95"  # measured 0.967
+
+
+def test_synthetic_molecular_energy_regression():
+    """QM9/HCEP-shaped graph regression with ASSERTED held-out accuracy.
+
+    Real QM9/HCEP data cannot be fetched here (no egress); the generated
+    set has its shape: random molecule-like graphs over 4 atom species
+    with an additive atomization-energy target (per-atom + per-bond
+    terms, ``utils.datasets.synthetic_molecules``).  The energy is
+    exactly structure-determined, so held-out MAE measures true
+    generalization of the learned message passing.  A mean predictor
+    scores MAE ~= 2.4 (target std ~3.0); the trained GCN must reach
+    MAE < 1.0."""
+    import jax
+
+    from graphflow_tpu.models.gcn import GCN_MW
+    from graphflow_tpu.utils.datasets import synthetic_molecules
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    graphs, targets = synthetic_molecules(200, seed=1)
+    t = np.asarray(targets)
+    tr_g, te_g = graphs[:160], graphs[160:]
+
+    model = GCN_MW(nLevels=2, max_nVertices=9, nFeatures=4, nHiddens=24,
+                   nDepth=0, seed=0)
+    rng = np.random.default_rng(0)
+    for epoch in range(100):
+        lr = 0.02 if epoch < 60 else 0.005
+        idx = rng.permutation(160)
+        for s in range(0, 160, 32):
+            bb = idx[s:s + 32]
+            model.BatchLearn([tr_g[i] for i in bb],
+                             [float(t[i]) for i in bb], lr)
+
+    preds = np.array([model.Predict(g) for g in te_g])
+    mae = np.abs(preds - t[160:]).mean()
+    base = np.abs(t[160:] - t[:160].mean()).mean()   # mean-predictor MAE
+    assert mae < 1.0, (mae, base)
+    assert mae < 0.45 * base, (mae, base)
