@@ -205,6 +205,46 @@ def run_edges(V=8192, D=16, H=64, chain_len=65, reps=5):
 
 
 # ----------------------------------------------------------------------
+# 3b. Whole-model number (VERDICT r3 item 6): full SMP_omega BatchLearn
+#     at the BASELINE.md round-1 workload so end-to-end regressions are
+#     visible every round (reference analog tests/test_SMP_omega.cpp:151-207).
+# ----------------------------------------------------------------------
+
+def run_model(nMol=16, V=20, rf=10, L=3, C=20, reps=5):
+    """Returns (batchlearn_seconds, predict_batched_seconds_per_mol).
+
+    Same molecule distribution/config as tools/bench_model.py and the
+    reference harness tools/bench_reference_model.cpp (recorded in
+    BASELINE_MEASURED.json's "model" section).  Wall-clock includes host
+    prep + tunnel RTT — an upper bound on real cost.
+    """
+    import numpy as np
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from bench_model import make_molecules
+    from graphflow_tpu.models import SMP_omega
+
+    graphs, targets = make_molecules(nMol, V)
+    model = SMP_omega(max_nVertices=V, max_receptive_field=rf, nLevels=L,
+                      nChanels=C, nFeatures=4, nDepth=5, seed=0)
+    model.BatchLearn(graphs, targets, 1e-4)          # compile + warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        model.BatchLearn(graphs, targets, 1e-4)
+        times.append(time.perf_counter() - t0)
+    model.Threaded_Predict(graphs)                    # compile + warm
+    tp = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        model.Threaded_Predict(graphs)
+        tp.append(time.perf_counter() - t0)
+    return float(np.median(times)), float(np.median(tp)) / nMol
+
+
+# ----------------------------------------------------------------------
 # 4. On-chip parity gate (a Mosaic regression cannot ship a fast number)
 # ----------------------------------------------------------------------
 
@@ -264,9 +304,12 @@ def main():
     train_bf16 = run_train_level(V=B, P=P, C=C, dtype="bfloat16")
     note("spmm edges")
     edge_secs, n_edges = run_edges()
+    note("whole model")
+    model_bl_s, model_pred_s = run_model()
     note("done")
 
     vs_baseline = 1.0
+    model_vs_ref = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_MEASURED.json")
     if os.path.exists(base_path):
@@ -275,6 +318,10 @@ def main():
         if base["P"] == P and base["C"] == C:
             ref_per_unit = base["seconds_per_call"] / base["B"]
             vs_baseline = ref_per_unit / (secs / B)
+        ref_model = base.get("model", {}).get("reference_serial", {})
+        if ref_model.get("batchlearn_seconds"):
+            model_vs_ref = round(
+                ref_model["batchlearn_seconds"] / model_bl_s, 1)
 
     lvl_flops = layer_flops(B, P, C)  # bank+K dominates the level step
     print(json.dumps({
@@ -295,6 +342,11 @@ def main():
             "spmm_edges_unit": "Medges/s/chip (V=8192, D=16, H=64)",
             "mfu_pct_vs_bf16_peak": round(100 * gflops * 1e9 / V5E_BF16_PEAK,
                                           2),
+            "model_batchlearn_s": round(model_bl_s, 4),
+            "model_batchlearn_workload": "SMP_omega 16 mols V=20 rf=10 "
+                                         "L=3 C=20 (BASELINE.md table)",
+            "model_batchlearn_vs_ref_serial": model_vs_ref,
+            "model_predict_batched_ms_per_mol": round(model_pred_s * 1e3, 3),
             "onchip_bank_parity_relerr": parity_err,
         },
     }))

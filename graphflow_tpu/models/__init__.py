@@ -5,7 +5,7 @@ from graphflow_tpu.models.smp2d import (
 )
 from graphflow_tpu.models.smp1d import (
     SMP1D, SMP1DConfig, SMP_theta, SMP_1D, SMP_1D_classification,
-    Unrestricted_SMP_1D, CCN_1D,
+    Unrestricted_SMP_1D,
 )
 from graphflow_tpu.models.gcn import (
     GCN, GCNConfig, GCN_1D, GCN_2D, GCN_3D, GCN_1D_Distance, GCN_2D_Distance,
@@ -14,7 +14,7 @@ from graphflow_tpu.models.gcn import (
 from graphflow_tpu.models.pairgraphs import (
     SMPPairGraphs, SMP_omega_pairgraphs, SMP_beta_pairgraphs,
     SMP_gamma_pairgraphs, SMP_sigma_pairgraphs, SMP_theta_pairgraphs,
-    GCNKernel, GCN_1D_Kernel, GCN_2D_Kernel, GCN_3D_Kernel,
+    CCN_1D, GCNKernel, GCN_1D_Kernel, GCN_2D_Kernel, GCN_3D_Kernel,
 )
 from graphflow_tpu.models.gru_gcn import (
     GRU_GCN, GRU_GCN_1D, GRU_GCN_2D, GRU_GCN_3D,

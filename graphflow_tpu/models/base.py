@@ -18,6 +18,7 @@ XLA program, and multi-chip DP is handled by ``graphflow_tpu.parallel``.
 from __future__ import annotations
 
 import functools
+import weakref
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -49,7 +50,12 @@ class GraphModel:
         self.opt_state = None
         self.params: Any = None
         self.param_order: Optional[List[str]] = None
-        self._prep_cache: Dict[int, prep.PreparedGraph] = {}
+        # Weak-keyed so a collected DenseGraph can never alias a new one
+        # (an id()-keyed dict silently served stale arrays when a graph was
+        # garbage-collected and its id reused), and so the cache cannot
+        # grow without bound over a long training run.
+        self._prep_cache: "weakref.WeakKeyDictionary[DenseGraph, prep.PreparedGraph]" = (
+            weakref.WeakKeyDictionary())
 
     # -- to be implemented by subclasses --------------------------------
     def _prepare(self, graph: DenseGraph) -> prep.PreparedGraph:
@@ -80,10 +86,11 @@ class GraphModel:
     def prepare(self, graph: DenseGraph) -> prep.PreparedGraph:
         """Host preprocessing (the ``complete_computation_graph`` analog),
         memoized per DenseGraph instance."""
-        key = id(graph)
-        if key not in self._prep_cache:
-            self._prep_cache[key] = self._prepare(graph)
-        return self._prep_cache[key]
+        pg = self._prep_cache.get(graph)
+        if pg is None:
+            pg = self._prepare(graph)
+            self._prep_cache[graph] = pg
+        return pg
 
     def _stack(self, graphs: Sequence[DenseGraph], targets=None):
         pgs = [self.prepare(g) for g in graphs]

@@ -23,6 +23,7 @@ Covers the reference models:
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from typing import Optional, Sequence
 
 import jax
@@ -47,7 +48,10 @@ class PairGraphModel:
 
     def __init__(self, optimizer="adam", **opt_kwargs):
         self.opt = optim_lib.make_optimizer(optimizer, **opt_kwargs)
-        self._prep_cache = {}
+        # graph -> {tower index: PreparedGraph}; weak-keyed so a collected
+        # DenseGraph can never alias a newly-allocated one (see
+        # GraphModel._prep_cache).
+        self._prep_cache = weakref.WeakKeyDictionary()
         self.dropout_nKept = None
 
     def _finish_init(self):
@@ -76,10 +80,12 @@ class PairGraphModel:
 
     def _stack(self, graphs1, graphs2, targets=None):
         def cached(graph, which, fn):
-            key = (id(graph), which)
-            if key not in self._prep_cache:
-                self._prep_cache[key] = fn(graph)
-            return self._prep_cache[key]
+            per = self._prep_cache.get(graph)
+            if per is None:
+                per = self._prep_cache.setdefault(graph, {})
+            if which not in per:
+                per[which] = fn(graph)
+            return per[which]
 
         b1 = batching.stack_graphs(
             [cached(g, 1, self._prepare_1) for g in graphs1])
@@ -247,6 +253,29 @@ def SMP_theta_pairgraphs(max_nVertices_1, max_nVertices_2,
                          max_receptive_field, nLevels, nChanels, nFeatures_1,
                          nFeatures_2, seed=0):
     """``SMP_theta_pairgraphs.h``: first-order towers."""
+    return SMPPairGraphs(1, max_nVertices_1, max_nVertices_2,
+                         max_receptive_field, nLevels, nChanels, nFeatures_1,
+                         nFeatures_2, seed=seed)
+
+
+def CCN_1D(max_nVertices_1, max_nVertices_2, max_receptive_field, nLevels,
+           nChanels, nFeatures_1, nFeatures_2, nChanels_decay=1.0, seed=0):
+    """``CCN_1D.h:34-57``: the pair-of-graphs CCN — two first-order towers
+    with per-level features and an MLP similarity head, the same driver
+    surface as the reference (``complete_computation_graph(m1, m2)``,
+    ``BatchLearn(nBatch, molecule_1, molecule_2, target, lr)``,
+    ``Predict(m1, m2)``; ``CCN_1D.h:658,874,1060``).
+
+    ``nChanels_decay`` shrinks the channel count per level in the reference
+    (``CCN_1D.h:34-40``); only the constant-width ``nChanels_decay == 1.0``
+    configuration is supported here (documented divergence — the per-level
+    channel schedule would break the static [V, P, C] state shape that the
+    trace-once TPU design relies on).
+    """
+    if nChanels_decay != 1.0:
+        raise NotImplementedError(
+            "CCN_1D: only nChanels_decay=1.0 is supported (constant channel "
+            "width per level; see docstring)")
     return SMPPairGraphs(1, max_nVertices_1, max_nVertices_2,
                          max_receptive_field, nLevels, nChanels, nFeatures_1,
                          nFeatures_2, seed=seed)

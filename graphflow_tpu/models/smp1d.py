@@ -9,8 +9,8 @@ One config-driven module covering the reference's first-order SMP models:
   Unrestricted_SMP_1D  (``Unrestricted_SMP_1D.h:98-103``) — full learned
                                            W[size] per receptive-field size
   *_classification     — LogLoss head
-  CCN_1D               (``CCN_1D.h``)    — theta architecture (pair input is
-                                           provided by the pairgraph wrapper)
+(CCN_1D — the theta architecture with pair-of-graphs input, ``CCN_1D.h`` —
+lives in graphflow_tpu.models.pairgraphs.)
 
 Math per level (reference ``SMP_theta.h:570-615`` / ``SMP_1D.h:480-512``):
   level 0:  f_v = LeakyReLU((H @ wl_feat_v)^T)        (1 x C matrix)
@@ -321,12 +321,9 @@ def Unrestricted_SMP_1D(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
         nDepth=nDepth, filter="unrestricted", optimizer="momentum"), seed)
 
 
-def CCN_1D(max_nVertices, max_receptive_field, nLevels, nChanels, nFeatures,
-           nDepth, seed=0) -> SMP1D:
-    """``CCN_1D.h``: the theta architecture (its pair-of-graphs driver lives
-    in the pairgraph module)."""
-    return SMP_theta(max_nVertices, max_receptive_field, nLevels, nChanels,
-                     nFeatures, nDepth, seed)
+# CCN_1D (the theta architecture's pair-of-graphs driver, ``CCN_1D.h``)
+# lives in graphflow_tpu.models.pairgraphs — the reference model takes
+# (molecule_1, molecule_2) pairs, not single graphs.
 
 
 def SMP_theta_physics(max_nVertices, max_receptive_field, nLevels, nChanels,

@@ -236,8 +236,11 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None,
         # only); small receptive fields train via the Pallas bank instead.
         use_fused_train = (pallas_ok and training
                            and cfg.P % (16 if bf16 else 8) == 0)
+        # Mutually exclusive with the two fused routes (exactly one of the
+        # three Pallas flags may be set) so the level loop's routing does
+        # not depend on branch ordering.
         use_bank_train = (pallas_ok and not use_fused
-                          and (bf16 or (training and not use_fused_train)))
+                          and not use_fused_train and (bf16 or training))
 
     for l in range(cfg.nLevels):
         Kl, bl = params["levels"][l]["K"], params["levels"][l]["b"]

@@ -420,16 +420,14 @@ def _consts_v3(P: int, C: int, G: int = 8, dtype=np.float32):
     # (tileR @ Xsel^T @ tileC) * kmask — replaces the 12-op in-kernel
     # concat-doubling (_blockdiag_kron); the grid is op-issue bound, so
     # per-slot op count is the cost that matters (docs/KERNEL_NOTES.md).
+    # (The backward keeps the concat-doubling build — it is MXU-dense, so
+    # no backward-twin constants are needed.)
     Q = P + 1
     base["tileR"] = np.tile(np.eye(Q, dtype=dtype), (G, 1))    # [GQ, Q]
     base["tileC"] = np.tile(np.eye(P, dtype=dtype), (1, G))    # [P, GP]
     gq = np.arange(G * Q) // Q
     gp = np.arange(G * P) // P
     base["kmask"] = (gq[:, None] == gp[None, :]).astype(dtype)  # [GQ, GP]
-    # backward twin: DG^T = I_G (x) Xsel = (tileRb @ Xsel @ tileCb) * kmaskT
-    base["tileRb"] = np.tile(np.eye(P, dtype=dtype), (G, 1))   # [GP, P]
-    base["tileCb"] = np.tile(np.eye(Q, dtype=dtype), (1, G))   # [Q, GQ]
-    base["kmaskT"] = base["kmask"].T.copy()                    # [GP, GQ]
     return base
 
 
@@ -437,7 +435,7 @@ _CONST_NAMES_V3 = ("Mrow4", "dmask_big", "imask_big", "SrepP", "mask_cb2",
                    "Sa", "Sb", "sel_rdiv", "sel_rmod", "selrdivT",
                    "selrmodT", "blockdiag", "crossdiag", "Pswap",
                    "dmaskT", "eyeP", "Mrow",
-                   "tileR", "tileC", "kmask", "tileRb", "tileCb", "kmaskT")
+                   "tileR", "tileC", "kmask")
 
 
 def _v3_quantities(T2all, Ap, cr, P, C, mm):
@@ -533,7 +531,6 @@ def _kernel_v3(nbr_ref,                           # scalar prefetch [V*P]
                selrdivT_ref, selrmodT_ref, blockdiag_ref, crossdiag_ref,
                Pswap_ref, dmaskT_ref, eyeP_ref, Mrow_ref,
                tileR_ref, tileC_ref, kmask_ref,
-               tileRb_ref, tileCb_ref, kmaskT_ref,
                out_ref,
                buf, sem,
                *, P, C, G, Cout, negslope, precision, t2_ref=None):
@@ -632,7 +629,9 @@ def risi18_level_fused_v3_raw(state_cm, nbr, xsel, radj, K, b,
     # (sublane, lane 128) multiples — sublane tile is 8 rows for f32,
     # 16 for bf16.  state_cm is only ~V (P C^2) bytes (not T-sized), so
     # the XLA pad is cheap; zero pad rows/cols are inert.
-    sub = 8 * (4 // dt.itemsize)
+    # (max(1, .) keeps wider dtypes, e.g. float64 in interpret-mode tests,
+    # from dividing by zero; the compiled kernel only sees f32/bf16.)
+    sub = 8 * max(1, 4 // dt.itemsize)
     Q8 = -(-(P + 1) // sub) * sub
     F128 = -(-(C * (P + 1)) // 128) * 128
     state_cm = jnp.pad(state_cm, ((0, 0), (0, Q8 - (P + 1)),
@@ -648,7 +647,7 @@ def risi18_level_fused_v3_raw(state_cm, nbr, xsel, radj, K, b,
             num_scalar_prefetch=1,
             grid=(V,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # state stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # state stays in HBM
                 pl.BlockSpec((1, P * P, Q8), lambda v, nref: (v, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, P, P), lambda v, nref: (v, 0, 0),
@@ -735,7 +734,6 @@ def _kernel_v3t_bwd(xsel_ref, radj_ref, t2_ref, g_ref,
                     selrdivT_ref, selrmodT_ref, blockdiag_ref, crossdiag_ref,
                     Pswap_ref, dmaskT_ref, eyeP_ref, Mrow_ref,
                     tileR_ref, tileC_ref, kmask_ref,
-                    tileRb_ref, tileCb_ref, kmaskT_ref,
                     dF_ref, dK_ref,
                     *, P, C, G, Cout, precision):
     """Adjoint of the v3 assembly: from T2all (saved by the forward) and
@@ -1035,7 +1033,7 @@ def risi18_level(state, nbr, pos, radj, K, b, negslope=0.01):
     """
     state_cm = pack_state_cm(state)
     xsel = build_xsel(pos, state.dtype)
-    sub = 8 * (4 // state.dtype.itemsize)
+    sub = 8 * max(1, 4 // state.dtype.itemsize)
     raw = (risi18_level_fused_v3_raw if nbr.shape[1] % sub == 0
            else risi18_level_fused_raw)
     return raw(state_cm, nbr, xsel, radj.astype(jnp.float32), K, b,
