@@ -58,6 +58,37 @@ def _chain_time(make_chain, args, chain_len, reps=5):
 
 
 # ----------------------------------------------------------------------
+# 0. Device-speed calibration: the tunneled chip's effective speed swings
+#    ~2x between sessions (measured: identical compiled SpMM programs at
+#    112.9 us vs 269 us on different days — docs/KERNEL_NOTES.md).  A
+#    known-roofline dense matmul pins down the chip state so recorded
+#    numbers are comparable across rounds.
+# ----------------------------------------------------------------------
+
+def run_calibration(n=4096, chain_len=17, reps=5):
+    """bf16 [n,n]@[n,n] achieved TFLOP/s (peak ~197 on v5e)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    A = jax.random.normal(key, (n, n), jnp.bfloat16)
+
+    def chain(k):
+        @jax.jit
+        def run_fn(A):
+            def body(x, _):
+                y = jnp.dot(x, A, preferred_element_type=jnp.bfloat16)
+                # renormalize so the chain cannot overflow
+                return y / jnp.float32(n).astype(jnp.bfloat16), y[0, 0]
+            _, zs = jax.lax.scan(body, A, None, length=k)
+            return zs.astype(jnp.float32).sum()
+        return run_fn
+
+    secs = _chain_time(chain, (A,), chain_len, reps)
+    return 2 * n ** 3 / secs / 1e12
+
+
+# ----------------------------------------------------------------------
 # 1. Headline: bank + K matmul from a materialized T (round-1/2 metric)
 # ----------------------------------------------------------------------
 
@@ -290,6 +321,9 @@ def main():
     note("parity gate")
     parity_err = parity_check()
 
+    note("device calibration")
+    calib_tflops = run_calibration()
+
     note("bank layer")
     secs = run_bank(B=B, P=P, C=C)
     gflops = layer_flops(B, P, C) / secs / 1e9
@@ -347,6 +381,9 @@ def main():
                                          "L=3 C=20 (BASELINE.md table)",
             "model_batchlearn_vs_ref_serial": model_vs_ref,
             "model_predict_batched_ms_per_mol": round(model_pred_s * 1e3, 3),
+            "device_calib_bf16_matmul_tflops": round(calib_tflops, 1),
+            "device_calib_note": "chip speed swings ~2x across sessions; "
+                                 "compare rounds via this calibration",
             "onchip_bank_parity_relerr": parity_err,
         },
     }))

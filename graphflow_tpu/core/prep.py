@@ -97,14 +97,28 @@ def rank_vertices(hist: np.ndarray):
 # ----------------------------------------------------------------------
 
 def _limit_receptive_field(v: int, A: List[int], sp: np.ndarray,
-                           rank: np.ndarray, cap: int) -> List[int]:
+                           rank: Optional[np.ndarray], cap: int
+                           ) -> List[int]:
     """Cap a receptive field (reference ``SMP_omega.h:476-507``).
 
     Sort by (distance from v, rank) ascending, then drop *whole* trailing
     distance groups until the size fits the cap (the reference pops the entire
     farthest-distance group each round, possibly undershooting the cap).
+
+    With ``rank=None`` (the pairgraphs/no-WL models,
+    ``SMP_omega_pairgraphs.h:468-493``), the reference sorts by distance
+    ONLY via its exchange sort — which is NOT stable (e.g. keys
+    [2a, 2b, 1c] come out [1c, 2b, 2a], reversing the tied pair) — so the
+    exact double-loop swap sequence is replicated here for bit parity.
     """
-    A = sorted(A, key=lambda u: (sp[v, u], rank[u]))
+    if rank is None:
+        A = list(A)
+        for i in range(len(A)):
+            for j in range(i + 1, len(A)):
+                if sp[v, A[i]] > sp[v, A[j]]:
+                    A[i], A[j] = A[j], A[i]
+    else:
+        A = sorted(A, key=lambda u: (sp[v, u], rank[u]))
     while len(A) > cap:
         d = sp[v, A[-1]]
         while A and sp[v, A[-1]] == d:
@@ -136,7 +150,9 @@ def receptive_fields(sp: np.ndarray, rank: np.ndarray, nLevels: int,
                             seen.add(w)
                             acc.append(w)
             if max_receptive_field is not None and len(acc) > max_receptive_field:
-                acc = _limit_receptive_field(v, acc, sp, rank, max_receptive_field)
+                acc = _limit_receptive_field(
+                    v, acc, sp, rank if has_WL_ordering else None,
+                    max_receptive_field)
             if has_WL_ordering:
                 acc = sorted(acc, key=lambda u: rank[u])
             phi_l.append(acc)

@@ -113,15 +113,41 @@ def _aggregate(M, hidden, order: int, nHiddens: int):
     raise ValueError(order)
 
 
-def _channel_forward(levels, feat, M_of, vmask, order, nHiddens):
-    """One GCN channel: returns final [H] summed top-level hidden."""
+def _channel_forward(levels, feat, M_of, vmask, order, nHiddens,
+                     collect=None):
+    """One GCN channel: returns final [H] summed top-level hidden.
+
+    ``collect``: optional list; per-level hidden [V, H] arrays are appended
+    (the reference's ``level[l]->hidden`` activations, for parity tests and
+    ForDebugging-style dumps)."""
     hidden = activations.softmax(feat @ levels[0]["W1"].T) * vmask[:, None]
+    if collect is not None:
+        collect.append(hidden)
     for l in range(1, len(levels)):
         part1 = feat @ levels[l]["W1"].T
         agg = _aggregate(M_of(l), hidden, order, nHiddens)
         part2 = agg @ levels[l]["W2"].T
         hidden = activations.softmax(part1 + part2) * vmask[:, None]
+        if collect is not None:
+            collect.append(hidden)
     return hidden.sum(axis=0), hidden
+
+
+def gcn_states(params, g, cfg: GCNConfig):
+    """Per-level hidden activations (list of [V, H]) + final feature —
+    the reference's ``GCN_1D.h`` ``level[l]->hidden[v]`` / ``final_feature``
+    internals, for binary-parity tests and debugging dumps."""
+    vmask, sp = g["vmask"], g["sp"]
+
+    def M_of(l):
+        radius = min(l, cfg.max_Radius)
+        return ((sp <= radius).astype(vmask.dtype)
+                * vmask[:, None] * vmask[None, :])
+
+    states = []
+    final, _ = _channel_forward(params["levels"], g["wl_feat"], M_of, vmask,
+                                cfg.order, cfg.nHiddens, collect=states)
+    return states, final
 
 
 def gcn_forward(params, g, cfg: GCNConfig):
@@ -315,6 +341,30 @@ class GCN_MW(GraphModel):
 # Neural Graph Fingerprint (Duvenaud)
 # ----------------------------------------------------------------------
 
+def nf_states(params, g, nLevels):
+    """NeuralFingerprint per-level hidden activations + final feature
+    (``NeuralFingerprint.h:58-106`` ``level[l]->hidden`` internals).
+    Returns (list of [V, H] per level, final [H])."""
+    from graphflow_tpu.ops.sparse import ell_spmm
+
+    feat, vmask = g["raw_feat"], g["vmask"]
+    if "ell_nbr_a" not in g:
+        M = g["adj"] * vmask[:, None] * vmask[None, :]       # open 1-hop
+    hidden = activations.softmax(
+        feat @ params["levels"][0]["W1"].T) * vmask[:, None]
+    states = [hidden]
+    for l in range(1, nLevels + 1):
+        part1 = feat @ params["levels"][l]["W1"].T
+        if "ell_nbr_a" in g:
+            agg = ell_spmm(g["ell_nbr_a"], g["ell_w_a"], hidden)
+        else:
+            agg = M @ hidden
+        part2 = agg @ params["levels"][l]["W2"].T
+        hidden = activations.softmax(part1 + part2) * vmask[:, None]
+        states.append(hidden)
+    return states, hidden.sum(axis=0)
+
+
 class NeuralFingerprint(GraphModel):
     """``NeuralFingerprint.h``: raw features at every level, open 1-hop
     SumVectors aggregation, Softmax units, Momentum."""
@@ -355,22 +405,7 @@ class NeuralFingerprint(GraphModel):
                                   use_wl_features=False)
 
     def _forward(self, params, g):
-        from graphflow_tpu.ops.sparse import ell_spmm
-
-        feat, vmask = g["raw_feat"], g["vmask"]
-        if "ell_nbr_a" not in g:
-            M = g["adj"] * vmask[:, None] * vmask[None, :]   # open 1-hop
-        hidden = activations.softmax(
-            feat @ params["levels"][0]["W1"].T) * vmask[:, None]
-        for l in range(1, self.nLevels + 1):
-            part1 = feat @ params["levels"][l]["W1"].T
-            if "ell_nbr_a" in g:
-                agg = ell_spmm(g["ell_nbr_a"], g["ell_w_a"], hidden)
-            else:
-                agg = M @ hidden
-            part2 = agg @ params["levels"][l]["W2"].T
-            hidden = activations.softmax(part1 + part2) * vmask[:, None]
-        final = hidden.sum(axis=0)
+        _, final = nf_states(params, g, self.nLevels)
         return jnp.dot(final, params["W"]), final
 
     def _loss(self, params, g, target):

@@ -29,6 +29,30 @@ from graphflow_tpu.ops import activations, losses
 from graphflow_tpu.optim.utils import uniform_init
 
 
+def gru_gcn_states(params, g, nLevels, max_Radius, order, nHiddens):
+    """Per-level hidden states + output-gated vertex features + graph
+    feature (``GRU_GCN_1D.h`` ``level[l]->hidden`` / ``vertex_feature`` /
+    ``graph_feature`` internals, for binary-parity tests and dumps).
+    Returns (list of [V, H] per level, vertex [V, H], graph_feat [H])."""
+    vmask, sp = g["vmask"], g["sp"]
+    h = activations.softmax(g["wl_feat"] @ params["W"].T) * vmask[:, None]
+    states = [h]
+    for l in range(1, nLevels + 1):
+        radius = min(l, max_Radius)
+        M = ((sp <= radius).astype(vmask.dtype)
+             * vmask[:, None] * vmask[None, :])
+        a = _aggregate(M, h, order, nHiddens)
+        z = jax.nn.sigmoid(a @ params["W_z"].T + h @ params["U_z"].T)
+        r = jax.nn.sigmoid(a @ params["W_r"].T + h @ params["U_r"].T)
+        ht = jnp.tanh(a @ params["W_h"].T + (r * h) @ params["U_h"].T)
+        h = ((1.0 - z) * h + z * ht) * vmask[:, None]
+        states.append(h)
+    vertex = (jax.nn.sigmoid(h @ params["W_g"].T)
+              * jnp.tanh(h @ params["U_g"].T)) * vmask[:, None]
+    graph_feat = jnp.tanh(vertex.sum(axis=0))
+    return states, vertex, graph_feat
+
+
 class GRU_GCN(GraphModel):
     def __init__(self, nLevels, max_nVertices, nFeatures, nHiddens, nDepth,
                  max_Radius, order=1, momentum_param=0.9, seed=0):
@@ -54,21 +78,9 @@ class GRU_GCN(GraphModel):
                                   max_receptive_field=1, nDepth=self.nDepth)
 
     def _forward(self, params, g):
-        vmask, sp = g["vmask"], g["sp"]
-        h = activations.softmax(
-            g["wl_feat"] @ params["W"].T) * vmask[:, None]
-        for l in range(1, self.nLevels + 1):
-            radius = min(l, self.max_Radius)
-            M = ((sp <= radius).astype(vmask.dtype)
-                 * vmask[:, None] * vmask[None, :])
-            a = _aggregate(M, h, self.order, self.nHiddens)
-            z = jax.nn.sigmoid(a @ params["W_z"].T + h @ params["U_z"].T)
-            r = jax.nn.sigmoid(a @ params["W_r"].T + h @ params["U_r"].T)
-            ht = jnp.tanh(a @ params["W_h"].T + (r * h) @ params["U_h"].T)
-            h = ((1.0 - z) * h + z * ht) * vmask[:, None]
-        vertex = (jax.nn.sigmoid(h @ params["W_g"].T)
-                  * jnp.tanh(h @ params["U_g"].T)) * vmask[:, None]
-        graph_feat = jnp.tanh(vertex.sum(axis=0))
+        _, _, graph_feat = gru_gcn_states(params, g, self.nLevels,
+                                          self.max_Radius, self.order,
+                                          self.nHiddens)
         return jnp.dot(graph_feat, params["U"]), graph_feat
 
     def _loss(self, params, g, target):

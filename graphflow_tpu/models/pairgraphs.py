@@ -146,12 +146,27 @@ class SMPPairGraphs(PairGraphModel):
                  max_receptive_field: int, nLevels: int, nChanels: int,
                  nFeatures_1: int, nFeatures_2: int, use_coulomb=False,
                  contraction: int = 18, dropout_nKept: Optional[int] = None,
-                 seed: int = 0):
+                 channel_schedule: Optional[tuple] = None, seed: int = 0):
         super().__init__(optimizer="adam")
+        # Every reference pairgraphs tower HALVES the channel count per
+        # level: C_l = max(C_{l-1} / 2, 1)
+        # (``SMP_omega_pairgraphs.h:202-204``, ``SMP_theta_pairgraphs.h:
+        # 210-212`` — uncovered by the binary-parity harness in round 4:
+        # the towers converged fine with constant channels, but the
+        # activations could not match).  ``channel_schedule`` overrides
+        # (CCN_1D's decay=1.0 keeps channels constant).
+        if channel_schedule is None:
+            schedule = [nChanels]
+            for _ in range(nLevels):
+                schedule.append(max(schedule[-1] // 2, 1))
+            schedule = tuple(schedule)
+        else:
+            schedule = tuple(channel_schedule)
         mk_cfg = lambda V, F: (SMP2DConfig if order == 2 else SMP1DConfig)(
             max_nVertices=V, max_receptive_field=max_receptive_field,
             nLevels=nLevels, nChanels=nChanels, nFeatures=F, nDepth=0,
             has_WL_ordering=False, use_wl_features=False,
+            channel_schedule=schedule,
             **({"use_coulomb": use_coulomb, "contraction": contraction}
                if order == 2 else {}))
         self.order = order
@@ -160,7 +175,9 @@ class SMPPairGraphs(PairGraphModel):
         self.dropout_nKept = dropout_nKept
         self._dropout_key = jax.random.PRNGKey(1234 + seed)
 
-        nTotal = 2 * (nLevels + 1) * nChanels
+        # nTotalFeatures = sum over levels of both towers' channel counts
+        # (SMP_omega_pairgraphs.h:323-328).
+        nTotal = 2 * sum(schedule)
         h1, h2 = _mlp_head_dims(nTotal)
         from graphflow_tpu.optim.utils import uniform_init
         init_fn = init_smp2d_params if order == 2 else init_smp1d_params
@@ -196,10 +213,12 @@ class SMPPairGraphs(PairGraphModel):
                 p, g, c, case_mask=case_mask, training=training)
         else:
             feats_fn = smp1d_level_features
-        f1 = feats_fn(params["tower1"], g1, self.cfg1)   # [(L+1), C]
+        f1 = feats_fn(params["tower1"], g1, self.cfg1)  # list of [C_l]
         f2 = feats_fn(params["tower2"], g2, self.cfg2)
-        # Reference concat order: for each level, tower1[l] then tower2[l].
-        merged = jnp.concatenate([f1, f2], axis=1).reshape(-1)
+        # Reference concat order: for each level, tower1[l] then tower2[l]
+        # (SMP_omega_pairgraphs.h:703-708); widths shrink with the level.
+        merged = jnp.concatenate(
+            [x for pair in zip(f1, f2) for x in pair])
         h = activations.leaky_relu(params["W1"] @ merged)
         h = activations.leaky_relu(params["W2"] @ h)
         return jnp.dot(h, params["W3"])
@@ -266,19 +285,24 @@ def CCN_1D(max_nVertices_1, max_nVertices_2, max_receptive_field, nLevels,
     ``BatchLearn(nBatch, molecule_1, molecule_2, target, lr)``,
     ``Predict(m1, m2)``; ``CCN_1D.h:658,874,1060``).
 
-    ``nChanels_decay`` shrinks the channel count per level in the reference
-    (``CCN_1D.h:34-40``); only the constant-width ``nChanels_decay == 1.0``
-    configuration is supported here (documented divergence — the per-level
-    channel schedule would break the static [V, P, C] state shape that the
-    trace-once TPU design relies on).
+    ``nChanels_decay`` shrinks channels per level in the reference
+    (``CCN_1D.h:217``: C_l = max(ceil(C_{l-1} * decay), minimum)); the
+    per-level schedule is reproduced here over the theta tower.  Documented
+    divergence: the reference CCN_1D tower uses the steerable
+    lambda/W_eye/W_one channel-concat filter (``CCN_1D.h:60-76``) rather
+    than theta's [l1*sum ; l2*1@sum] @ K reducer; the driver surface,
+    receptive-field/pair semantics and channel schedule match.
     """
-    if nChanels_decay != 1.0:
-        raise NotImplementedError(
-            "CCN_1D: only nChanels_decay=1.0 is supported (constant channel "
-            "width per level; see docstring)")
+    import math
+    CCN_1D_MIN_CHANNELS = 16  # ``CCN_1D.h:30`` minimum-channel guard
+    schedule = [max(nChanels, CCN_1D_MIN_CHANNELS)]
+    for _ in range(nLevels):
+        schedule.append(max(int(math.ceil(schedule[-1] * nChanels_decay)),
+                            CCN_1D_MIN_CHANNELS))
     return SMPPairGraphs(1, max_nVertices_1, max_nVertices_2,
                          max_receptive_field, nLevels, nChanels, nFeatures_1,
-                         nFeatures_2, seed=seed)
+                         nFeatures_2, channel_schedule=tuple(schedule),
+                         seed=seed)
 
 
 class GCNKernel(PairGraphModel):

@@ -69,6 +69,10 @@ class SMP1DConfig:
     nClasses: Optional[int] = None
     optimizer: str = "adam"
     dtype: str = "float32"
+    # Explicit per-level channel counts (length nLevels+1).  The pairgraph
+    # towers HALVE channels each level (``SMP_theta_pairgraphs.h:210-212``:
+    # C_l = max(C_{l-1}/2, 1)); None = the filter's default schedule.
+    channel_schedule: Optional[tuple] = None
 
     @property
     def feat_dim(self) -> int:
@@ -84,6 +88,8 @@ class SMP1DConfig:
         """Channel count of the level-l state.  The ver2/ver3 and
         Unrestricted-ver2 families double channels each level
         (``SMP_1D_ver2.h:131``: C_l = 2 C_{l-1})."""
+        if self.channel_schedule is not None:
+            return self.channel_schedule[l]
         if self.filter in ("concat", "concat_kk", "unrestricted2"):
             return self.nChanels * (2 ** l)
         return self.nChanels
@@ -114,8 +120,7 @@ def init_smp1d_params(key, cfg: SMP1DConfig):
             lev["lambda2"] = uniform_init(next(ki), (V1,), dtype, fan=1)
         lev["b"] = uniform_init(next(ki), (V1, C), dtype, fan=C)
         if cfg.filter == "theta":
-            lev["K"] = uniform_init(next(ki),
-                                    (2 * cfg.nChanels, cfg.nChanels), dtype)
+            lev["K"] = uniform_init(next(ki), (2 * C_prev, C), dtype)
         elif cfg.filter == "concat_kk":
             lev["K_eye"] = uniform_init(next(ki), (C_prev, C_prev), dtype)
             lev["K_one"] = uniform_init(next(ki), (C_prev, C_prev), dtype)
@@ -153,7 +158,7 @@ def smp1d_states(params, g, cfg: SMP1DConfig):
     V, P = g["vmask"].shape[0], cfg.P
 
     F0 = activations.leaky_relu(g["wl_feat"] @ params["H"].T)     # [V, C]
-    state = jnp.zeros((V, P, cfg.nChanels), F0.dtype).at[:, 0, :].set(
+    state = jnp.zeros((V, P, cfg.channels_at(0)), F0.dtype).at[:, 0, :].set(
         F0 * g["vmask"][:, None])
     states = [state]
     vid_prev = jnp.full((V, P), V, jnp.int32).at[:, 0].set(
@@ -228,9 +233,10 @@ def _graph_feature(state, vmask):
 
 
 def smp1d_level_features(params, g, cfg: SMP1DConfig):
-    """Per-level graph features for the pairgraph towers: [(L+1), C]."""
+    """Per-level graph features for the pairgraph towers: a LIST of [C_l]
+    vectors (channel counts differ per level under a channel schedule)."""
     states = smp1d_states(params, g, cfg)
-    return jnp.stack([_graph_feature(s, g["vmask"]) for s in states])
+    return [_graph_feature(s, g["vmask"]) for s in states]
 
 
 def smp1d_forward(params, g, cfg: SMP1DConfig):

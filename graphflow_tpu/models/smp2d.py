@@ -69,6 +69,10 @@ class SMP2DConfig:
     # True/False forces. The fused kernel computes gather + bank + channel
     # matmul in one HBM pass (ops/risi_fused_pallas.py).
     use_fused_kernel: Optional[bool] = None
+    # Explicit per-level channel counts (length nLevels+1).  The pairgraph
+    # towers HALVE channels each level (``SMP_omega_pairgraphs.h:202-204``:
+    # C_l = max(C_{l-1}/2, 1)); None = constant nChanels.
+    channel_schedule: Optional[Tuple[int, ...]] = None
 
     @property
     def feat_dim(self) -> int:
@@ -80,6 +84,11 @@ class SMP2DConfig:
         return (self.max_receptive_field
                 if self.max_receptive_field is not None else self.max_nVertices)
 
+    def channels_at(self, l: int) -> int:
+        if self.channel_schedule is not None:
+            return self.channel_schedule[l]
+        return self.nChanels
+
 
 def init_smp2d_params(key, cfg: SMP2DConfig):
     """Parameters in the reference's registration order
@@ -90,19 +99,22 @@ def init_smp2d_params(key, cfg: SMP2DConfig):
     dtype = jnp.dtype(cfg.dtype)
     keys = jax.random.split(key, 2 + 2 * cfg.nLevels)
     params = {
-        "H": uniform_init(keys[0], (cfg.nChanels, cfg.feat_dim), dtype),
+        "H": uniform_init(keys[0], (cfg.channels_at(0), cfg.feat_dim),
+                          dtype),
         "levels": [
             {"K": uniform_init(keys[1 + 2 * l],
-                               (nCon * cfg.nChanels, cfg.nChanels), dtype),
-             "b": uniform_init(keys[2 + 2 * l], (cfg.nChanels,), dtype)}
+                               (nCon * cfg.channels_at(l),
+                                cfg.channels_at(l + 1)), dtype),
+             "b": uniform_init(keys[2 + 2 * l], (cfg.channels_at(l + 1),),
+                               dtype)}
             for l in range(cfg.nLevels)
         ],
     }
-    head_dim = cfg.nClasses if cfg.nClasses else 1
+    CL = cfg.channels_at(cfg.nLevels)
     if cfg.nClasses:
-        params["W"] = uniform_init(keys[-1], (cfg.nClasses, cfg.nChanels), dtype)
+        params["W"] = uniform_init(keys[-1], (cfg.nClasses, CL), dtype)
     else:
-        params["W"] = uniform_init(keys[-1], (cfg.nChanels,), dtype)
+        params["W"] = uniform_init(keys[-1], (CL,), dtype)
     return params
 
 
@@ -205,7 +217,7 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None,
     12.1 ms) — docs/KERNEL_NOTES.md, tools/bench_train_step.py."""
     contract_fn, nCon = _CONTRACTIONS[cfg.contraction]
     # V from the data (shape-polymorphic for bucketed batching); P/C static.
-    V, P, C = g["vmask"].shape[0], cfg.P, cfg.nChanels
+    V, P, C = g["vmask"].shape[0], cfg.P, cfg.channels_at(0)
 
     # Level 0 (reference SMP_omega.h:616-627): 1x1xC vertex tensors.
     F0 = activations.leaky_relu(g["wl_feat"] @ params["H"].T)   # [V, C]
@@ -213,6 +225,8 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None,
         F0 * g["vmask"][:, None])
     states = [state]
 
+    uniform_C = cfg.channel_schedule is None or len(
+        set(cfg.channel_schedule)) == 1
     use_fused = cfg.use_fused_kernel
     use_bank_train = False
     use_fused_train = False
@@ -220,6 +234,7 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None,
         dev = jax.config.jax_default_device
         platform = dev.platform if dev is not None else jax.default_backend()
         pallas_ok = (cfg.contraction == 18 and case_mask is None
+                     and uniform_C
                      and platform in ("tpu", "axon")
                      and jnp.dtype(cfg.dtype) in (jnp.dtype(jnp.float32),
                                                   jnp.dtype(jnp.bfloat16)))
@@ -244,35 +259,37 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None,
 
     for l in range(cfg.nLevels):
         Kl, bl = params["levels"][l]["K"], params["levels"][l]["b"]
+        prevC, Cout = state.shape[-1], Kl.shape[1]
         if use_fused or use_fused_train:
             from graphflow_tpu.ops.risi_fused_pallas import (
                 risi18_level, risi18_level_train)
             fn = risi18_level_train if use_fused_train else risi18_level
             Z = fn(state, g["nbr"][l], g["pos"][l], g["radj"][l], Kl, bl)
-            state = Z.reshape(V, P, P, C) * g["smask"][l + 1][:, :, :, None]
+            state = Z.reshape(V, P, P, Cout) * g["smask"][l + 1][:, :, :, None]
             states.append(state)
             continue
         state_pad = jnp.pad(state, ((0, 0), (0, 1), (0, 1), (0, 0)))
         T = _gather_neighbor_tensors(state_pad, g["nbr"][l], g["pos"][l])
         if use_bank_train:
             from graphflow_tpu.ops.risi_pallas import risi18_bank_train
-            Z = (risi18_bank_train(T, g["radj"][l], Kl).reshape(V, P * P, C)
+            Z = (risi18_bank_train(T, g["radj"][l], Kl).reshape(V, P * P,
+                                                               Cout)
                  + bl[None, None, :])
-            state = activations.leaky_relu(Z).reshape(V, P, P, C)
+            state = activations.leaky_relu(Z).reshape(V, P, P, Cout)
             state = state * g["smask"][l + 1][:, :, :, None]
             states.append(state)
             continue
         if cfg.contraction == 4:
             Y = jax.vmap(contract_fn)(T)                        # no adjacency
         else:
-            Y = jax.vmap(contract_fn)(T, g["radj"][l])          # [V,P,P,nCon*C]
+            Y = jax.vmap(contract_fn)(T, g["radj"][l])      # [V,P,P,nCon*pC]
         if case_mask is not None:
-            Y = Y * jnp.repeat(case_mask, C)[None, None, None, :]
+            Y = Y * jnp.repeat(case_mask, prevC)[None, None, None, :]
         # One flattened MXU matmul: the batched [P*P, nCon*C] @ K form
         # lowers to V separate small matmuls on TPU (~10x slower, measured).
-        Z = (Y.reshape(V * P * P, nCon * C) @ Kl
-             ).reshape(V, P * P, C) + bl[None, None, :]
-        state = activations.leaky_relu(Z).reshape(V, P, P, C)
+        Z = (Y.reshape(V * P * P, nCon * prevC) @ Kl
+             ).reshape(V, P * P, Cout) + bl[None, None, :]
+        state = activations.leaky_relu(Z).reshape(V, P, P, Cout)
         state = state * g["smask"][l + 1][:, :, :, None]
         states.append(state)
     return states
@@ -287,10 +304,11 @@ def _graph_feature(state, vmask):
 def smp2d_level_features(params, g, cfg: SMP2DConfig, case_mask=None,
                          training=False):
     """Per-level graph features (the pairgraph towers collect these at every
-    level, SMP_omega_pairgraphs.h:640-654). Returns [(nLevels+1), C]."""
+    level, SMP_omega_pairgraphs.h:640-654).  Returns a LIST of [C_l]
+    vectors — channel counts differ per level under a channel schedule."""
     states = smp2d_states(params, g, cfg, case_mask=case_mask,
                           training=training)
-    return jnp.stack([_graph_feature(s, g["vmask"]) for s in states])
+    return [_graph_feature(s, g["vmask"]) for s in states]
 
 
 def smp2d_forward(params, g, cfg: SMP2DConfig, training=False):

@@ -533,7 +533,8 @@ def _kernel_v3(nbr_ref,                           # scalar prefetch [V*P]
                tileR_ref, tileC_ref, kmask_ref,
                out_ref,
                buf, sem,
-               *, P, C, G, Cout, negslope, precision, t2_ref=None):
+               *, P, C, G, Cout, negslope, precision, t2_ref=None,
+               ablate=()):
     f32 = jnp.float32
     v = pl.program_id(0)
     N2, PC = P * P, P * C
@@ -542,11 +543,17 @@ def _kernel_v3(nbr_ref,                           # scalar prefetch [V*P]
         return jnp.dot(x, y, preferred_element_type=f32,
                        precision=precision)
 
+    NBUF = 4  # DMA pipeline depth (2 was measured to leave ~0.87 ms of
+    #           transfer latency un-hidden on the critical path at
+    #           V=256 P=16 C=32 — tools/ablate_v3.py full-vs-nodma)
+
     def fetch(slot, i):
         return pltpu.make_async_copy(
             state_hbm.at[nbr_ref[v * P + i]], buf.at[slot], sem.at[slot])
 
-    fetch(0, 0).start()
+    if "nodma" not in ablate:
+        for i0 in range(min(NBUF - 1, P)):
+            fetch(i0 % NBUF, i0).start()
 
     # ---- per-vertex setup -------------------------------------------------
     Ap_raw = radj_ref[0]
@@ -562,11 +569,21 @@ def _kernel_v3(nbr_ref,                           # scalar prefetch [V*P]
     tileC = tileC_ref[...]                         # [P, GP]
     kmask = kmask_ref[...]                         # [G(P+1), GP]
     for i in range(P):
-        slot = i % 2
-        if i + 1 < P:
-            fetch((i + 1) % 2, i + 1).start()
-        fetch(slot, i).wait()
-        F = buf[slot]                              # [Q8, (c q2)+pad] c-major
+        slot = i % NBUF
+        if "nodma" not in ablate:
+            if i + NBUF - 1 < P:
+                fetch((i + NBUF - 1) % NBUF, i + NBUF - 1).start()
+            fetch(slot, i).wait()
+            F = buf[slot]                          # [Q8, (c q2)+pad] c-major
+        else:
+            F = buf[0]
+        if "noalign" in ablate:
+            T2s.append(F[:P, :PC].astype(f32))
+            continue
+        if "nocol" in ablate:
+            Xsel = Xsel_all[i * P:(i + 1) * P, :].astype(F.dtype)
+            T2s.append(mm(Xsel, F)[:, :PC])
+            continue
         Xsel = Xsel_all[i * P:(i + 1) * P, :].astype(F.dtype)
         A = mm(Xsel, F)                            # [P, (c q2)+pad]
         # DG = I_G (x) Xsel^T in 3 ops (kernel is op-issue bound):
@@ -582,6 +599,13 @@ def _kernel_v3(nbr_ref,                           # scalar prefetch [V*P]
     T2all = jnp.concatenate(T2s, axis=0)           # [(a b) = (i p1), PC]
     if t2_ref is not None:
         t2_ref[0] = T2all.astype(t2_ref.dtype)
+
+    if "noassemble" in ablate:
+        # cheapest possible consumer so alignment+DMA cost is isolated
+        ones = jnp.ones((PC, Cout), f32)
+        Zq = mm(mm(Sb_ref[...], T2all), ones)       # [P, Cout]
+        out_ref[0] = jnp.concatenate([Zq] * P, axis=0).astype(out_ref.dtype)
+        return
 
     cr = {"Mrow4": Mrow4_ref, "dmask_big": dmask_big_ref,
           "imask_big": imask_big_ref, "SrepP": SrepP_ref,
@@ -604,7 +628,7 @@ def _kernel_v3(nbr_ref,                           # scalar prefetch [V*P]
 
 def risi18_level_fused_v3_raw(state_cm, nbr, xsel, radj, K, b,
                               negslope=0.01, chunk=8, interpret=False,
-                              precision=None, save_t2=False):
+                              precision=None, save_t2=False, ablate=()):
     """Per-vertex-grid fused level step (v3).  Same contract as
     :func:`risi18_level_fused_raw`; grid (V,) with manual double-buffered
     neighbor DMA instead of grid (V, P) with BlockSpec pipelining.
@@ -660,8 +684,8 @@ def risi18_level_fused_v3_raw(state_cm, nbr, xsel, radj, K, b,
             ] + [fixed(consts[n].shape) for n in _CONST_NAMES_V3],
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((2, Q8, F128), dt),         # double buffer
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((4, Q8, F128), dt),         # 4-deep DMA pipeline
+                pltpu.SemaphoreType.DMA((4,)),
             ],
         )
 
@@ -707,7 +731,8 @@ def risi18_level_fused_v3_raw(state_cm, nbr, xsel, radj, K, b,
         return out, t2
 
     kernel = functools.partial(_kernel_v3, P=P, C=C, G=G, Cout=Cout,
-                               negslope=negslope, precision=precision)
+                               negslope=negslope, precision=precision,
+                               ablate=tuple(ablate))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

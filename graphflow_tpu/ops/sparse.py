@@ -118,33 +118,33 @@ def norm_adj_ell(n: int, edges, pad_rows: Optional[int] = None,
 def ell_spmm(nbr: jnp.ndarray, w: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     """ELLPACK SpMM: ``out[v] = sum_d w[v, d] * h[nbr[v, d]]``.
 
-    nbr: [V, D] int32 with sentinel V for padding (reads a zero row);
-    w: [V, D]; h: [V, H].  One flat row-take + one batched MXU reduction.
+    nbr: [V, D] int32 with sentinel V for padding (w is 0 there);
+    w: [V, D]; h: [V, H].
+
+    Formulation (round-4 on-chip A/B over 12 candidates,
+    tools/bench_spmm{,2}.py at V=8192 D=16 H=64): ONE flat row gather of
+    all V*D rows with ``promise_in_bounds`` (sentinels clamped to a real
+    row — its value is annihilated by w == 0, so no [h; 0] concat copy
+    and no per-index clamp in the gather) followed by one batched MXU
+    reduction at HIGHEST precision (exact f32 accumulation; the op is
+    HBM-bound so precision is free).  Measured 1.25-2.4x over the
+    previous per-slot take+FMA chain in the same session; the flat
+    gather runs at full HBM bandwidth (112.9 us total in a fast session
+    == the BW-bound including the gathered-tensor round-trip).  Per-slot
+    loops pay D accumulator read+writes instead (96 MB extra traffic at
+    these shapes); scatter-based (sorted COO segment-sum) is ~10x worse.
+    Note docs/KERNEL_NOTES.md "Tunnel session variance": absolute
+    edges/s swings ~2x between sessions; rankings are stable.
     """
     V, H = h.shape
     D = nbr.shape[1]
-    src = jnp.concatenate([h, jnp.zeros((1, H), h.dtype)], axis=0)
-    # Loop over the D neighbor slots with a fused multiply-add per slot
-    # instead of materializing the [V D, H] gather and einsum-reducing:
-    # XLA streams each take straight into the accumulator, skipping one
-    # full write+read of the gathered tensor (measured on-chip at
-    # V=8192 D=16 H=64: 219 us vs 265 us, 599 vs 494 Medges/s).  The
-    # multiply-adds run elementwise in f32 — exact, no MXU rounding.
     acc_dt = jnp.promote_types(h.dtype, jnp.float32)
-    if D > 64:
-        # Unrolling D slots bloats the program at high max-degree; fall
-        # back to the one-take + einsum form (HIGHEST so the MXU pass
-        # keeps full f32 — the op is HBM-bound, precision is free).
-        gathered = jnp.take(src, nbr.reshape(-1), axis=0).reshape(-1, D, H)
-        return jnp.einsum("vd,vdh->vh", w.astype(h.dtype), gathered,
-                          preferred_element_type=acc_dt,
-                          precision=jax.lax.Precision.HIGHEST
-                          ).astype(h.dtype)
-    acc = jnp.zeros((V, H), acc_dt)
-    wd = w.astype(acc_dt)
-    for d in range(D):
-        acc = acc + wd[:, d:d + 1] * jnp.take(src, nbr[:, d], axis=0)
-    return acc.astype(h.dtype)
+    ids = jnp.minimum(nbr.reshape(-1), V - 1)
+    gathered = h.at[ids].get(mode="promise_in_bounds").reshape(V, D, H)
+    return jnp.einsum("vd,vdh->vh", w, gathered.astype(acc_dt),
+                      preferred_element_type=acc_dt,
+                      precision=jax.lax.Precision.HIGHEST
+                      ).astype(h.dtype)
 
 
 def coo_spmm(src_idx: jnp.ndarray, dst_idx: jnp.ndarray, w: jnp.ndarray,

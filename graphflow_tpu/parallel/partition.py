@@ -91,19 +91,79 @@ class PartitionPlan:
     vmask: np.ndarray     # [B, S, Vs]
     rows_targeted: int    # per-shard per-level received rows (ppermute)
     rows_allgather: int   # per-shard per-level received rows (all_gather)
+    # Per-level comm accounting over the REAL (unpadded) export sets:
+    # comm_per_level[l] = {"targeted_max", "targeted_mean", "allgather"}
+    # rows received per shard at level l (VERDICT r3 item 7).
+    comm_per_level: Optional[List[dict]] = None
 
     @property
     def batch(self) -> int:
         return self.wl_feat.shape[0]
+
+    def comm_table(self, row_bytes: Optional[int] = None) -> str:
+        """Human-readable per-level halo-exchange volume table.
+
+        ``row_bytes``: bytes of one exchanged vertex-state row (e.g.
+        (P+1)^2 * C * itemsize for the padded SMP2D state); when given,
+        volumes are also printed in KiB.
+        """
+        lines = ["level  targeted_max  targeted_mean  allgather   (rows "
+                 "received per shard per level)"]
+        for l, row in enumerate(self.comm_per_level or []):
+            extra = ""
+            if row_bytes:
+                extra = (f"   [{row['targeted_max'] * row_bytes / 1024:.0f}"
+                         f" KiB vs {row['allgather'] * row_bytes / 1024:.0f}"
+                         f" KiB]")
+            lines.append(f"{l:5d}  {row['targeted_max']:12d}  "
+                         f"{row['targeted_mean']:13.1f}  "
+                         f"{row['allgather']:9d}{extra}")
+        return "\n".join(lines)
+
+
+def _pad_prepared(pg: PreparedGraph, Vpad: int) -> PreparedGraph:
+    """Extend a PreparedGraph's vertex axis to ``Vpad`` with inert padding
+    vertices (vmask 0, sizes 0, pos = sentinel, zero adjacency/masks) so a
+    non-divisible V still partitions into equal shards."""
+    import dataclasses as _dc
+
+    V = pg.nbr.shape[1]
+    if Vpad == V:
+        return pg
+    e = Vpad - V
+    L, Pp = pg.nbr.shape[0], pg.nbr.shape[2]
+    return _dc.replace(
+        pg,
+        wl_feat=np.concatenate(
+            [pg.wl_feat, np.zeros((e,) + pg.wl_feat.shape[1:],
+                                  pg.wl_feat.dtype)], axis=0),
+        vmask=np.concatenate([pg.vmask, np.zeros(e, pg.vmask.dtype)]),
+        sizes=np.concatenate(
+            [pg.sizes, np.zeros((L + 1, e), pg.sizes.dtype)], axis=1),
+        nbr=np.concatenate(
+            [pg.nbr, np.zeros((L, e, Pp), pg.nbr.dtype)], axis=1),
+        pos=np.concatenate(
+            [pg.pos, np.full((L, e, Pp, Pp), Pp, pg.pos.dtype)], axis=1),
+        radj=np.concatenate(
+            [pg.radj, np.zeros((L, e, Pp, Pp), pg.radj.dtype)], axis=1),
+        smask=np.concatenate(
+            [pg.smask, np.zeros((L + 1, e, Pp, Pp), pg.smask.dtype)],
+            axis=1),
+    )
 
 
 def plan_partition_batch(pgs: Sequence[PreparedGraph],
                          n_shards: int) -> PartitionPlan:
     """Plan contiguous-block vertex partitions for a batch of prepared
     graphs with common static shapes (shift sizes and the interior prefix
-    are maxed/minned over the batch)."""
+    are maxed/minned over the batch).  A vertex count not divisible by
+    ``n_shards`` is padded up with inert vertices (the last shard carries
+    the padding; masks keep them exact zeros)."""
     L, V, Pp = pgs[0].nbr.shape[0], pgs[0].nbr.shape[1], pgs[0].nbr.shape[2]
-    assert V % n_shards == 0, f"V={V} not divisible by {n_shards}"
+    Vpad = -(-V // n_shards) * n_shards
+    if Vpad != V:
+        pgs = [_pad_prepared(pg, Vpad) for pg in pgs]
+        V = Vpad
     S, Vs, B = n_shards, V // n_shards, len(pgs)
     owner = np.arange(V) // Vs
 
@@ -232,6 +292,18 @@ def plan_partition_batch(pgs: Sequence[PreparedGraph],
             wl_feat[b, s, lv] = pg.wl_feat[v]
             vmask[b, s, lv] = pg.vmask[v]
 
+    # Per-level exchanged-row accounting over the real export sets: rows
+    # RECEIVED by shard t at level l = sum_s |E[l][s][t]|.
+    comm_per_level = []
+    for l in range(L):
+        recv = [sum(len(E[l][s][t]) for s in range(S) if s != t)
+                for (E, _, _) in per_graph for t in range(S)]
+        comm_per_level.append({
+            "targeted_max": int(max(recv)),
+            "targeted_mean": float(np.mean(recv)),
+            "allgather": int(S * H),
+        })
+
     return PartitionPlan(
         n_shards=S, Vs=Vs, H=H, n_interior=Vi, shift_sizes=shift_sizes,
         send_idx=send_idx, send_mask=send_mask,
@@ -240,6 +312,7 @@ def plan_partition_batch(pgs: Sequence[PreparedGraph],
         wl_feat=wl_feat, vmask=vmask,
         rows_targeted=int(sum(shift_sizes)),
         rows_allgather=int(S * H),
+        comm_per_level=comm_per_level,
     )
 
 
@@ -298,16 +371,24 @@ def _use_pallas_bank(cfg: SMP2DConfig, use_pallas: Optional[bool],
 
 def _bank(cfg: SMP2DConfig, T, radj, K, b, use_pallas: bool):
     """Contraction bank + channel matmul + bias + LeakyReLU for a block of
-    n vertex neighborhoods.  T: [n, Pp, Pp, Pp, C] -> [n, Pp, Pp, C]."""
+    n vertex neighborhoods.  T: [n, Pp, Pp, Pp, C] -> [n, Pp, Pp, C].
+
+    Generalized over the contraction family (4/10/18/50 — SMP_gamma,
+    ver6, beta/omega/ver8, ver7); the Pallas bank covers the 18-case
+    flagship, the others run the einsum case-table engine."""
+    from graphflow_tpu.models.smp2d import _CONTRACTIONS
+
     n, Pp, C = T.shape[0], cfg.P, cfg.nChanels
-    contract_fn, nCon = contractions.risi_contraction_18, 18
-    assert cfg.contraction == 18, "partitioned path implements the flagship"
-    if use_pallas and n > 0:
+    contract_fn, nCon = _CONTRACTIONS[cfg.contraction]
+    if use_pallas and cfg.contraction == 18 and n > 0:
         from graphflow_tpu.ops.risi_pallas import risi18_bank_train
         Z = (risi18_bank_train(T, radj, K).reshape(n, Pp * Pp, C)
              + b[None, None, :])
     else:
-        Y = jax.vmap(contract_fn)(T, radj)
+        if cfg.contraction == 4:
+            Y = jax.vmap(contract_fn)(T)        # no adjacency operand
+        else:
+            Y = jax.vmap(contract_fn)(T, radj)
         Z = (Y.reshape(n * Pp * Pp, nCon * C) @ K
              ).reshape(n, Pp * Pp, C) + b[None, None, :]
     return activations.leaky_relu(Z).reshape(n, Pp, Pp, C)
@@ -397,9 +478,14 @@ def _make_per_shard_forward(cfg: SMP2DConfig, plan: PartitionPlan,
 
         vertex = activations.leaky_relu(state.sum(axis=(2, 3)))  # [B, Vs, C]
         local_feat = (vertex * vmask[..., None]).sum(axis=1)     # [B, C]
-        # Per-shard PARTIAL prediction: <local_feat, W> sums to the full
-        # <graph_feat, W> under psum because the head is linear.
-        pred_local = local_feat @ params["W"]                     # [B]
+        # Per-shard PARTIAL prediction: the head is linear in graph_feat,
+        # so <local_feat, W> (or W @ local_feat for class scores) sums to
+        # the full-head value under psum; nonlinearities (softmax/LogLoss)
+        # are applied AFTER the psum on replicated values.
+        if cfg.nClasses:
+            pred_local = local_feat @ params["W"].T           # [B, nClasses]
+        else:
+            pred_local = local_feat @ params["W"]             # [B]
         return pred_local, local_feat
 
     return per_shard
@@ -454,9 +540,10 @@ def make_partitioned_train_step(cfg: SMP2DConfig, plan: PartitionPlan,
     ``SMP_omega.h:750-792``).
 
     Returns ``step(params, opt_state, inputs, targets, lr) ->
-    (params, opt_state, total_loss)``.
+    (params, opt_state, total_loss)``.  Regression targets are floats
+    (SquaredLoss); with ``cfg.nClasses`` set, targets are integer labels
+    (LogLoss over the psum'd class scores).
     """
-    assert not cfg.nClasses, "partitioned training implements the regression head"
     use_pallas = _use_pallas_bank(cfg, use_pallas, mesh)
     per_shard = _make_per_shard_forward(cfg, plan, graph_axis, halo,
                                         use_pallas)
@@ -469,6 +556,9 @@ def make_partitioned_train_step(cfg: SMP2DConfig, plan: PartitionPlan,
         def local_loss(p):
             pred_local, _ = per_shard(p, inputs)
             pred = jax.lax.psum(pred_local, graph_axis)
+            if cfg.nClasses:
+                return jax.vmap(losses.log_loss)(
+                    pred, targets.astype(jnp.int32)).sum()
             return jax.vmap(losses.squared_loss)(pred, targets).sum()
 
         loss, grads = jax.value_and_grad(local_loss)(params)

@@ -118,12 +118,23 @@ int gf_prepare_graph(
       if (use_cap && (int)acc.size() > P) {
         // limit_receptive_field (SMP_omega.h:476-507): sort by
         // (distance, rank), drop whole trailing distance groups.
-        std::sort(acc.begin(), acc.end(), [&](int a, int b) {
-          const long long da = sp[(size_t)v * n + a];
-          const long long db = sp[(size_t)v * n + b];
-          if (da != db) return da < db;
-          return rank[a] < rank[b];
-        });
+        if (has_wl_ordering) {
+          std::sort(acc.begin(), acc.end(), [&](int a, int b) {
+            const long long da = sp[(size_t)v * n + a];
+            const long long db = sp[(size_t)v * n + b];
+            if (da != db) return da < db;
+            return rank[a] < rank[b];
+          });
+        } else {
+          // No-WL models (SMP_omega_pairgraphs.h:468-493) sort by
+          // distance ONLY with the reference's exchange sort, which is
+          // NOT stable for tied keys — replicate the exact swap sequence
+          // for bit parity.
+          for (size_t i = 0; i < acc.size(); ++i)
+            for (size_t j = i + 1; j < acc.size(); ++j)
+              if (sp[(size_t)v * n + acc[i]] > sp[(size_t)v * n + acc[j]])
+                std::swap(acc[i], acc[j]);
+        }
         while ((int)acc.size() > P) {
           const long long d = sp[(size_t)v * n + acc.back()];
           while (!acc.empty() && sp[(size_t)v * n + acc.back()] == d)

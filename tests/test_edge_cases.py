@@ -136,16 +136,17 @@ def test_prep_cache_survives_graph_id_reuse():
 
 
 def test_ccn1d_pair_driver():
-    """CCN_1D is the pair-of-graphs theta driver (CCN_1D.h:658,874,1060)."""
+    """CCN_1D is the pair-of-graphs driver (CCN_1D.h:658,874,1060) with the
+    reference's ceil(C*decay) channel schedule and 16-channel floor."""
     from graphflow_tpu.models import CCN_1D
-    import pytest as _pytest
 
     g1 = DenseGraph.from_edges(3, 4, [(0, 1), (1, 2)], np.eye(4)[[0, 1, 2]])
     g2 = DenseGraph.from_edges(4, 4, [(0, 1), (1, 2), (2, 3)],
                                np.eye(4)[[0, 1, 2, 3]])
-    m = CCN_1D(4, 4, 2, nLevels=1, nChanels=4, nFeatures_1=4, nFeatures_2=4)
+    m = CCN_1D(4, 4, 2, nLevels=1, nChanels=16, nFeatures_1=4,
+               nFeatures_2=4, nChanels_decay=0.5)
+    # ceil(16 * 0.5) = 8 -> floored at the reference's 16-channel minimum
+    assert m.cfg1.channel_schedule == (16, 16)
     l0, l1 = m.BatchLearn([g1], [g2], [1.0], 0.05)
     assert np.isfinite(l0) and np.isfinite(l1)
     assert np.isfinite(m.Predict(g1, g2))
-    with _pytest.raises(NotImplementedError):
-        CCN_1D(4, 4, 2, 1, 4, 4, 4, nChanels_decay=0.5)
