@@ -279,6 +279,21 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None,
             state = state * g["smask"][l + 1][:, :, :, None]
             states.append(state)
             continue
+        if cfg.contraction in (10, 50) and case_mask is None:
+            # Fused bank + channel matmul: never materializes the
+            # [V, P, P, nCon*C] concat (risi_contraction_{10,50}_matmul;
+            # the 50C concat is 419 MB at production shapes — measured
+            # dominant in the unfused ver7 level step, tools/bench_banks.py:
+            # 16.5 -> 10.4 ms/level, 1.49x per-case-FLOP vs the fused ver8).
+            fused_bank = (contractions.risi_contraction_50_matmul
+                          if cfg.contraction == 50
+                          else contractions.risi_contraction_10_matmul)
+            Z = (fused_bank(T, g["radj"][l], Kl).reshape(V, P * P, Cout)
+                 + bl[None, None, :])
+            state = activations.leaky_relu(Z).reshape(V, P, P, Cout)
+            state = state * g["smask"][l + 1][:, :, :, None]
+            states.append(state)
+            continue
         if cfg.contraction == 4:
             Y = jax.vmap(contract_fn)(T)                        # no adjacency
         else:

@@ -106,16 +106,147 @@ def risi_contraction_4(T):
     return jnp.concatenate([y1, y2, y3, y4], axis=-1)
 
 
-def risi_contraction_10(T, A):
-    """``RisiContraction_10.h:94-...``: the 10 "fix 2, contract 3" cases.
-
-    No positivity guard in the reference (plain multiplication by A)."""
+def risi_contraction_10_spec(T, A):
+    """Generic-engine specification of the 10-case bank (tests)."""
     return _contract_cases(T, A, range(1, 11))
 
 
-def risi_contraction_50(T, A):
-    """``RisiContraction_50.h:94-431``: all 50 cases, reference order."""
+def risi_contraction_50_spec(T, A):
+    """Generic-engine specification of the 50-case bank (tests)."""
     return _contract_cases(T, A, range(1, 51))
+
+
+def _shared_reductions(T, A):
+    """All shared T/A reductions the 10/50-case banks are assembled from.
+
+    Mirrors :func:`risi_contraction_18`'s decomposition, completed for the
+    full index-partition table (``RisiContraction_50.h:94-431``): every
+    case becomes a scalar*slab, a vector outer product u[x]*v[y], or one
+    [N,N,C]x[N,N] matmul — O(N^3 C) total, MXU-friendly, no |E| factor.
+    """
+    S = A.sum()
+    R = A.sum(axis=1)                       # [d]
+    Rc = A.sum(axis=0)                      # [e]
+    trA = jnp.trace(A)
+    diagA = jnp.diagonal(A)                 # [N]
+
+    T_ab = T.sum(axis=2)                    # [a,b,f]
+    T_ac = T.sum(axis=1)                    # [a,c,f]
+    T_bc = T.sum(axis=0)                    # [b,c,f]
+    T_a = T_ab.sum(axis=1)                  # [a,f]
+    T_b = T_ab.sum(axis=0)                  # [b,f]
+    T_c = T_bc.sum(axis=0)                  # [c,f]
+    T_full = T_a.sum(axis=0)                # [f]
+    D_bc = jnp.einsum("abbf->abf", T)       # T[a,b,b,f]
+    D_ac = jnp.einsum("abaf->abf", T)       # T[a,b,a,f]
+    D_aab = jnp.einsum("aacf->acf", T)      # T[a,a,c,f]
+    Dg_bc_a = D_bc.sum(axis=1)              # [a,f]
+    Dg_ac_b = D_ac.sum(axis=0)              # [b,f]
+    Dg_aab_c = D_aab.sum(axis=0)            # [c,f]
+    s_aab = Dg_aab_c.sum(axis=0)            # [f]
+    s_aba = Dg_ac_b.sum(axis=0)
+    s_abb = Dg_bc_a.sum(axis=0)
+    t_diag3 = jnp.einsum("aaaf->af", T).sum(axis=0)
+    return dict(S=S, R=R, Rc=Rc, trA=trA, diagA=diagA, T_ab=T_ab, T_ac=T_ac,
+                T_bc=T_bc, T_a=T_a, T_b=T_b, T_c=T_c, T_full=T_full,
+                D_bc=D_bc, D_ac=D_ac, D_aab=D_aab, Dg_bc_a=Dg_bc_a,
+                Dg_ac_b=Dg_ac_b, Dg_aab_c=Dg_aab_c, s_aab=s_aab,
+                s_aba=s_aba, s_abb=s_abb, t_diag3=t_diag3)
+
+
+def _cases_1_to_10(q, A, ein, cast, outer):
+    return [
+        q["T_ab"] * q["S"],                                   # 1 (a,b)
+        q["T_ac"] * q["S"],                                   # 2 (a,c)
+        outer(q["T_a"], q["R"]),                              # 3 (a,d)
+        outer(q["T_a"], q["Rc"]),                             # 4 (a,e)
+        q["T_bc"] * q["S"],                                   # 5 (b,c)
+        outer(q["T_b"], q["R"]),                              # 6 (b,d)
+        outer(q["T_b"], q["Rc"]),                             # 7 (b,e)
+        outer(q["T_c"], q["R"]),                              # 8 (c,d)
+        outer(q["T_c"], q["Rc"]),                             # 9 (c,e)
+        A[:, :, None] * q["T_full"][None, None, :],           # 10 (d,e)
+    ]
+
+
+def risi_contraction_10(T, A):
+    """``RisiContraction_10.h:94-228``: the 10 "fix 2, contract 3" cases,
+    via shared reductions (no positivity guard in the reference —
+    plain multiplication by A).  Matches :func:`risi_contraction_10_spec`.
+    """
+    acc_t = jnp.promote_types(T.dtype, jnp.float32)
+    ein = functools.partial(jnp.einsum, preferred_element_type=acc_t)
+    cast = lambda x: x.astype(T.dtype)
+
+    def outer(u, v):
+        return u[:, None, :] * v[None, :, None]
+
+    q = _shared_reductions(T, A)
+    return jnp.concatenate(_cases_1_to_10(q, A, ein, cast, outer), axis=-1)
+
+
+def risi_contraction_50(T, A):
+    """``RisiContraction_50.h:94-431``: all 50 cases in reference order,
+    via shared reductions (cases 1-10: fix-2/contract-3; 11-40: one tied
+    pair among the rest; 41-50: all three tied).  Matches
+    :func:`risi_contraction_50_spec` (the generic einsum engine), which
+    remains the executable specification for the parity tests.
+    """
+    acc_t = jnp.promote_types(T.dtype, jnp.float32)
+    ein = functools.partial(jnp.einsum, preferred_element_type=acc_t)
+    cast = lambda x: x.astype(T.dtype)
+
+    def outer(u, v):
+        return u[:, None, :] * v[None, :, None]
+
+    q = _shared_reductions(T, A)
+    A3 = A[:, :, None]
+    T_ab, T_ac, T_bc = q["T_ab"], q["T_ac"], q["T_bc"]
+    R, Rc, diagA = q["R"], q["Rc"], q["diagA"]
+    ys = _cases_1_to_10(q, A, ein, cast, outer)
+    ys += [
+        cast(ein("abcf,c->abf", T, R)),                       # 11 (a,b) c=d
+        cast(ein("abcf,c->abf", T, Rc)),                      # 12 (a,b) c=e
+        T_ab * q["trA"],                                      # 13 (a,b) d=e
+        cast(ein("abcf,b->acf", T, R)),                       # 14 (a,c) b=d
+        cast(ein("abcf,b->acf", T, Rc)),                      # 15 (a,c) b=e
+        T_ac * q["trA"],                                      # 16 (a,c) d=e
+        outer(q["Dg_bc_a"], R),                               # 17 (a,d) b=c
+        cast(ein("abf,db->adf", T_ab, A)),                    # 18 (a,d) b=e
+        cast(ein("acf,dc->adf", T_ac, A)),                    # 19 (a,d) c=e
+        outer(q["Dg_bc_a"], Rc),                              # 20 (a,e) b=c
+        cast(ein("abf,be->aef", T_ab, A)),                    # 21 (a,e) b=d
+        cast(ein("acf,ce->aef", T_ac, A)),                    # 22 (a,e) c=d
+        cast(ein("abcf,a->bcf", T, R)),                       # 23 (b,c) a=d
+        cast(ein("abcf,a->bcf", T, Rc)),                      # 24 (b,c) a=e
+        T_bc * q["trA"],                                      # 25 (b,c) d=e
+        outer(q["Dg_ac_b"], R),                               # 26 (b,d) a=c
+        cast(ein("abf,da->bdf", T_ab, A)),                    # 27 (b,d) a=e
+        cast(ein("bcf,dc->bdf", T_bc, A)),                    # 28 (b,d) c=e
+        outer(q["Dg_ac_b"], Rc),                              # 29 (b,e) a=c
+        cast(ein("abf,ae->bef", T_ab, A)),                    # 30 (b,e) a=d
+        cast(ein("bcf,ce->bef", T_bc, A)),                    # 31 (b,e) c=d
+        outer(q["Dg_aab_c"], R),                              # 32 (c,d) a=b
+        cast(ein("acf,da->cdf", T_ac, A)),                    # 33 (c,d) a=e
+        cast(ein("bcf,db->cdf", T_bc, A)),                    # 34 (c,d) b=e
+        outer(q["Dg_aab_c"], Rc),                             # 35 (c,e) a=b
+        cast(ein("acf,ae->cef", T_ac, A)),                    # 36 (c,e) a=d
+        cast(ein("bcf,be->cef", T_bc, A)),                    # 37 (c,e) b=d
+        A3 * q["s_aab"][None, None, :],                       # 38 (d,e) a=b
+        A3 * q["s_aba"][None, None, :],                       # 39 (d,e) a=c
+        A3 * q["s_abb"][None, None, :],                       # 40 (d,e) b=c
+        cast(ein("abcf,c->abf", T, diagA)),                   # 41 (a,b) c=d=e
+        cast(ein("abcf,b->acf", T, diagA)),                   # 42 (a,c) b=d=e
+        cast(ein("abf,db->adf", q["D_bc"], A)),               # 43 (a,d) b=c=e
+        cast(ein("abf,be->aef", q["D_bc"], A)),               # 44 (a,e) b=c=d
+        cast(ein("abcf,a->bcf", T, diagA)),                   # 45 (b,c) a=d=e
+        cast(ein("abf,da->bdf", q["D_ac"], A)),               # 46 (b,d) a=c=e
+        cast(ein("abf,ae->bef", q["D_ac"], A)),               # 47 (b,e) a=c=d
+        cast(ein("acf,da->cdf", q["D_aab"], A)),              # 48 (c,d) a=b=e
+        cast(ein("acf,ae->cef", q["D_aab"], A)),              # 49 (c,e) a=b=d
+        A3 * q["t_diag3"][None, None, :],                     # 50 (d,e) a=b=c
+    ]
+    return jnp.concatenate(ys, axis=-1)
 
 
 def risi_contraction_18_spec(T, A):
@@ -201,6 +332,159 @@ def risi_contraction_18(T, A):
 def risi_contraction_18_batched(T, A):
     """Batched bank: T [B, N, N, N, C], A [B, N, N] -> [B, N, N, 18C]."""
     return jax.vmap(risi_contraction_18)(T, A)
+
+
+def _k_blocks(K, C, cases):
+    """Slice the channel-reducer K [nCases*C, Cout] into per-case blocks
+    (1-based case numbers in the bank's own ordering)."""
+    return {c: K[(i) * C:(i + 1) * C] for i, c in enumerate(cases)}
+
+
+def risi_contraction_10_matmul(T, A, K):
+    """Fused 10-case bank + channel matmul (same K-commuting trick as
+    :func:`risi_contraction_50_matmul`; ``RisiContraction_10.h:94-228``).
+    T: [V, N, N, N, C]; A: [V, N, N]; K: [10C, Cout] -> [V, N, N, Cout].
+    """
+    C, Cout = T.shape[4], K.shape[1]
+    acc_t = jnp.promote_types(T.dtype, jnp.float32)
+    ein = functools.partial(jnp.einsum, preferred_element_type=acc_t)
+    Kb = _k_blocks(K.astype(acc_t), C, range(1, 11))
+
+    S = A.sum(axis=(1, 2))
+    R = A.sum(axis=2)
+    Rc = A.sum(axis=1)
+    T_ab = T.sum(axis=3)
+    T_ac = T.sum(axis=2)
+    T_bc = T.sum(axis=1)
+    T_a = T_ab.sum(axis=2)
+    T_b = T_ab.sum(axis=1)
+    T_c = T_bc.sum(axis=1)
+    T_full = T_a.sum(axis=1)
+
+    def scal(slab, kb):
+        return ein("vxyf,v,fo->vxyo", slab, S, kb)
+
+    Z = scal(T_ab, Kb[1]) + scal(T_ac, Kb[2]) + scal(T_bc, Kb[5])
+    U = jnp.concatenate([T_a, T_b, T_c], axis=2)         # [V, N, 3C]
+    KR = jnp.concatenate([Kb[k] for k in (3, 6, 8)], axis=0)
+    KRc = jnp.concatenate([Kb[k] for k in (4, 7, 9)], axis=0)
+    Z += ein("vxo,vy->vxyo", ein("vxf,fo->vxo", U, KR), R)
+    Z += ein("vxo,vy->vxyo", ein("vxf,fo->vxo", U, KRc), Rc)
+    Z += ein("vxy,vo->vxyo", A, ein("vf,fo->vo", T_full, Kb[10]))
+    return Z.astype(T.dtype)
+
+
+def risi_contraction_50_matmul(T, A, K):
+    """Fused 50-case bank + channel matmul: returns Z [V, N, N, Cout]
+    == ``vmap(risi_contraction_50)(T, A).reshape(.., 50C) @ K`` without
+    ever materializing the [V, N, N, 50C] concat (419 MB at production
+    shapes — the dominant cost of the unfused ver7 level step).
+
+    Trick: K acts on the channel axis only, so it commutes through every
+    case's spatial structure; each case's K-block is applied to that
+    case's SHARED REDUCTION (a [.., C] quantity), and the 50 projected
+    slabs sum directly into Z.  Cases group into five shapes:
+      * fixed-(x,y) slab * scalar      (S / trA weights fold into K)
+      * weighted c/b/a-sums of T       (weights R / Rc / diagA stack)
+      * outer products u[x] (x) v[y]   (v in {R, Rc}; u's concat @ K)
+      * one-axis matmuls with A        (4 orientation groups share one
+                                        contraction each)
+      * A[x,y] (x) vector              (vectors project, then broadcast)
+    Reference semantics: ``RisiContraction_50.h:94-431`` (no positivity
+    guard).  T: [V, N, N, N, C]; A: [V, N, N]; K: [50C, Cout].
+    """
+    V, N = T.shape[0], T.shape[1]
+    C, Cout = T.shape[4], K.shape[1]
+    acc_t = jnp.promote_types(T.dtype, jnp.float32)
+    ein = functools.partial(jnp.einsum, preferred_element_type=acc_t)
+    Kb = _k_blocks(K.astype(acc_t), C, range(1, 51))
+
+    # per-batch A reductions
+    S = A.sum(axis=(1, 2))                          # [V]
+    R = A.sum(axis=2)                               # [V, N]
+    Rc = A.sum(axis=1)                              # [V, N]
+    trA = jnp.trace(A, axis1=1, axis2=2)            # [V]
+    diagA = jnp.diagonal(A, axis1=1, axis2=2)       # [V, N]
+
+    # T slabs (shared reductions)
+    T_ab = T.sum(axis=3)                            # [V,a,b,f]
+    T_ac = T.sum(axis=2)
+    T_bc = T.sum(axis=1)
+    D_bc = jnp.einsum("vabbf->vabf", T)
+    D_ac = jnp.einsum("vabaf->vabf", T)
+    D_aab = jnp.einsum("vaacf->vacf", T)
+    T_a = T_ab.sum(axis=2)                          # [V,a,f]
+    T_b = T_ab.sum(axis=1)
+    T_c = T_bc.sum(axis=1)
+    T_full = T_a.sum(axis=1)                        # [V,f]
+    Dg_bc_a = D_bc.sum(axis=2)
+    Dg_ac_b = D_ac.sum(axis=1)
+    Dg_aab_c = D_aab.sum(axis=1)
+    s_aab = Dg_aab_c.sum(axis=1)
+    s_aba = Dg_ac_b.sum(axis=1)
+    s_abb = Dg_bc_a.sum(axis=1)
+    t_diag3 = jnp.einsum("vaaaf->vaf", T).sum(axis=1)
+
+    # ---- scalar-weighted slabs: K folds with the per-batch scalar -------
+    def scal(slab, *terms):
+        # terms: (scalar [V], K-block); one projection per slab
+        Kmix = sum(s[:, None, None] * kb[None] for s, kb in terms)
+        return ein("vxyf,vfo->vxyo", slab, Kmix)
+
+    Z = scal(T_ab, (S, Kb[1]), (trA, Kb[13]))
+    Z += scal(T_ac, (S, Kb[2]), (trA, Kb[16]))
+    Z += scal(T_bc, (S, Kb[5]), (trA, Kb[25]))
+
+    # ---- weighted index-sums of T (weights R/Rc/diagA; 3 per family) ----
+    W3 = jnp.stack([R, Rc, diagA], axis=1)          # [V, 3, N]
+    for sub, ks in (("vabcf,vwc->vwabf", (11, 12, 41)),
+                    ("vabcf,vwb->vwacf", (14, 15, 42)),
+                    ("vabcf,vwa->vwbcf", (23, 24, 45))):
+        E = ein(sub, T, W3)                         # [V, 3, N, N, C]
+        K3 = jnp.stack([Kb[k] for k in ks])         # [3, C, Cout]
+        Z += ein("vwxyf,wfo->vxyo", E, K3)
+
+    # ---- outer products u[x] (x) v[y], v in {R, Rc} ---------------------
+    U = jnp.concatenate([T_a, T_b, T_c, Dg_bc_a, Dg_ac_b, Dg_aab_c],
+                        axis=2)                     # [V, N, 6C]
+    KR = jnp.concatenate([Kb[k] for k in (3, 6, 8, 17, 26, 32)], axis=0)
+    KRc = jnp.concatenate([Kb[k] for k in (4, 7, 9, 20, 29, 35)], axis=0)
+    Z += ein("vxo,vy->vxyo", ein("vxf,fo->vxo", U, KR), R)
+    Z += ein("vxo,vy->vxyo", ein("vxf,fo->vxo", U, KRc), Rc)
+
+    # ---- one-axis matmuls with A: 4 orientation groups ------------------
+    SLABS = jnp.concatenate([T_ab, T_ac, T_bc, D_bc, D_ac, D_aab], axis=3)
+    #                                                  [V, N, N, 6C]
+
+    def kcat(pairs):
+        # pairs: (slab index 0..5, case) -> [6C, Cout] with zeros elsewhere
+        out = jnp.zeros((6 * C, Cout), acc_t)
+        for si, case in pairs:
+            out = out.at[si * C:(si + 1) * C].set(Kb[case])
+        return out
+
+    # G1: sum_m M[x, m] A[y, m]
+    M = ein("vxmf,fo->vxmo", SLABS,
+            kcat(((0, 18), (1, 19), (2, 28), (3, 43))))
+    Z += ein("vxmo,vym->vxyo", M, A)
+    # G2: sum_m M[m, x] A[y, m]
+    M = ein("vmxf,fo->vmxo", SLABS,
+            kcat(((0, 27), (1, 33), (2, 34), (4, 46), (5, 48))))
+    Z += ein("vmxo,vym->vxyo", M, A)
+    # G3: sum_m M[x, m] A[m, y]
+    M = ein("vxmf,fo->vxmo", SLABS,
+            kcat(((0, 21), (1, 22), (2, 31), (3, 44))))
+    Z += ein("vxmo,vmy->vxyo", M, A)
+    # G4: sum_m M[m, x] A[m, y]
+    M = ein("vmxf,fo->vmxo", SLABS,
+            kcat(((0, 30), (1, 36), (2, 37), (4, 47), (5, 49))))
+    Z += ein("vmxo,vmy->vxyo", M, A)
+
+    # ---- A[x,y] (x) projected vectors -----------------------------------
+    vecs = jnp.concatenate([T_full, s_aab, s_aba, s_abb, t_diag3], axis=1)
+    Kv = jnp.concatenate([Kb[k] for k in (10, 38, 39, 40, 50)], axis=0)
+    Z += ein("vxy,vo->vxyo", A, ein("vf,fo->vo", vecs, Kv))
+    return Z.astype(T.dtype)
 
 
 def risi_contraction_18_dropout(T, A, case_mask):

@@ -214,3 +214,43 @@ class TestOtherBanks:
                                    rtol=1e-6)
         mask_eval = C.dropout_case_mask(key, nKept=6, train=False)
         np.testing.assert_allclose(np.asarray(mask_eval), 6 / 18)
+
+
+def test_optimized_50_and_10_match_generic_spec():
+    """The round-4 shared-reduction 50/10 banks must reproduce the generic
+    case-table engine exactly (signed adjacency: neither bank guards)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from graphflow_tpu.ops import contractions as ct
+
+    rng = np.random.RandomState(42)
+    for N, C in [(4, 3), (6, 5)]:
+        T = jnp.asarray(rng.randn(N, N, N, C))
+        A = jnp.asarray(rng.randn(N, N))
+        for opt, spec in [(ct.risi_contraction_50, ct.risi_contraction_50_spec),
+                          (ct.risi_contraction_10, ct.risi_contraction_10_spec)]:
+            a, b = np.asarray(opt(T, A)), np.asarray(spec(T, A))
+            np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-13)
+
+
+def test_fused_bank_matmul_50_and_10_match_spec():
+    """risi_contraction_{50,10}_matmul == spec-bank reshape @ K (f64)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from graphflow_tpu.ops import contractions as ct
+
+    rng = np.random.RandomState(3)
+    V, N, C, Co = 3, 5, 3, 4
+    T = jnp.asarray(rng.randn(V, N, N, N, C))
+    A = jnp.asarray(rng.randn(V, N, N))
+    for nCon, fused, spec in (
+            (50, ct.risi_contraction_50_matmul, ct.risi_contraction_50_spec),
+            (10, ct.risi_contraction_10_matmul, ct.risi_contraction_10_spec)):
+        K = jnp.asarray(rng.randn(nCon * C, Co))
+        want = jnp.einsum(
+            "vxyk,ko->vxyo",
+            jax.vmap(spec)(T, A).reshape(V, N, N, nCon * C), K)
+        got = fused(T, A, K)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-11, atol=1e-12)
