@@ -71,6 +71,14 @@ class SMP2DSteerableConfig:
     # (diff SMP_2D_ver2.h:548-576 vs SMP_2D_ver3.h:551 — ver3's affine
     # consumes level->sum directly and registers no scalar parameter).
     add_scalar_adj: bool = True
+    # The reference has TWO reduced-adjacency diagonal conventions
+    # (uncovered by the round-4 binary-parity harness): SMP_2D /
+    # _classification / ver2 / Unrestricted(+ver2) copy the raw adjacency
+    # (diagonal 0, ``SMP_2D.h:458-469``), while ver4/ver5 (and the
+    # omega/beta/contraction families) force the diagonal to 1
+    # (``SMP_2D_ver4.h:488-493``).  prep builds the forced-1 form; with
+    # False the diagonal is restored to the raw adjacency's.
+    radj_self_loops: bool = True
     nClasses: Optional[int] = None
     optimizer: str = "momentum"
     momentum_param: float = 0.9
@@ -194,13 +202,17 @@ def _neighbor_quadratic_sum(state, vid_prev, adj1, vid_cur, V, Pp, C,
     return jnp.einsum("vqy,vpyc->vpqc", selc, out)              # [V, Pp, Pp, C]
 
 
-def forward(params, g, cfg: SMP2DSteerableConfig):
+def steerable_states(params, g, cfg: SMP2DSteerableConfig):
+    """Run the tower, returning the per-level vertex tensor states (list of
+    [V, Pp, Pp, C_l] — the reference's ``level[l]->f[v]`` activations, for
+    binary-parity tests and ForDebugging-style dumps)."""
     V, Pp = cfg.max_nVertices, cfg.P
 
     C0 = cfg.nChanels
     F0 = activations.leaky_relu(g["wl_feat"] @ params["H"].T)     # [V, C0]
     state = jnp.zeros((V, Pp, Pp, C0), F0.dtype).at[:, 0, 0, :].set(
         F0 * g["vmask"][:, None])
+    states = [state]
     vid_prev = jnp.full((V, Pp), V, jnp.int32).at[:, 0].set(
         jnp.arange(V, dtype=jnp.int32))
 
@@ -266,13 +278,38 @@ def forward(params, g, cfg: SMP2DSteerableConfig):
         z = z + lev["b"][s][:, None, None, :]
         state = activations.leaky_relu(z)
         state = state * g["smask"][l + 1][:, :, :, None]
+        states.append(state)
         vid_prev = vid_cur
+    return states
 
+
+def forward(params, g, cfg: SMP2DSteerableConfig):
+    state = steerable_states(params, g, cfg)[-1]
     vertex = activations.leaky_relu(state.sum(axis=(1, 2)))
     graph_feat = (vertex * g["vmask"][:, None]).sum(axis=0)
     if cfg.nClasses:
         return params["W"] @ graph_feat, graph_feat
     return jnp.dot(graph_feat, params["W"]), graph_feat
+
+
+def strip_radj_self_loops(pg, graph: DenseGraph):
+    """Replace the prepared reduced adjacency's forced-1 diagonal with the
+    raw adjacency's own diagonal entries (the SMP_2D-family convention,
+    ``SMP_2D.h:458-469`` — see SMP2DSteerableConfig.radj_self_loops)."""
+    import dataclasses as _dc
+
+    radj = np.array(pg.radj)                     # [L, V, P, P]
+    L, V, Pp = radj.shape[0], radj.shape[1], radj.shape[2]
+    nbr = np.asarray(pg.nbr)                     # [L, V, P]
+    sizes = np.asarray(pg.sizes)                 # [L+1, V]
+    adiag = np.zeros(V + 1)
+    n = graph.nVertices
+    adiag[:n] = np.diagonal(graph.adj)
+    idx = np.arange(Pp)
+    valid = idx[None, None, :] < sizes[1:, :, None]      # [L, V, P]
+    diag_vals = adiag[np.minimum(nbr, V)] * valid
+    radj[:, :, idx, idx] = diag_vals
+    return _dc.replace(pg, radj=radj.astype(pg.radj.dtype))
 
 
 class SMP2DSteerable(GraphModel):
@@ -285,11 +322,14 @@ class SMP2DSteerable(GraphModel):
         self._finish_init()
 
     def _prepare(self, graph: DenseGraph):
-        return prep.prepare_graph(
+        pg = prep.prepare_graph(
             graph, self.cfg.nLevels, self.cfg.max_nVertices,
             max_receptive_field=None, nDepth=self.cfg.nDepth,
             has_WL_ordering=self.cfg.has_WL_ordering,
             dtype=np.dtype(self.cfg.dtype))
+        if not self.cfg.radj_self_loops:
+            pg = strip_radj_self_loops(pg, graph)
+        return pg
 
     def _forward(self, params, g):
         return forward(params, g, self.cfg)
@@ -311,7 +351,7 @@ def SMP_2D(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
     return SMP2DSteerable(SMP2DSteerableConfig(
         max_nVertices, nLevels, nChanels, nFeatures, nDepth,
         filter="steerable", has_WL_ordering=has_WL_ordering,
-        momentum_param=momentum_param), seed)
+        radj_self_loops=False, momentum_param=momentum_param), seed)
 
 
 def SMP_2D_classification(max_nVertices, nLevels, nChanels, nFeatures,
@@ -319,7 +359,7 @@ def SMP_2D_classification(max_nVertices, nLevels, nChanels, nFeatures,
     """``SMP_2D_classification.h``."""
     return SMP2DSteerable(SMP2DSteerableConfig(
         max_nVertices, nLevels, nChanels, nFeatures, nDepth,
-        filter="steerable", nClasses=nClasses,
+        filter="steerable", nClasses=nClasses, radj_self_loops=False,
         momentum_param=momentum_param), seed)
 
 
@@ -329,7 +369,8 @@ def SMP_2D_ver2(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
     scalar (.) reduced-adjacency term (``SMP_2D_ver2.h:548-576``)."""
     return SMP2DSteerable(SMP2DSteerableConfig(
         max_nVertices, nLevels, nChanels, nFeatures, nDepth,
-        filter="matrix", momentum_param=momentum_param), seed)
+        filter="matrix", radj_self_loops=False,
+        momentum_param=momentum_param), seed)
 
 
 def SMP_2D_ver3(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
@@ -376,7 +417,8 @@ def Unrestricted_SMP_2D(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
     """``Unrestricted_SMP_2D.h``: full learned W[s] filter tensors."""
     return SMP2DSteerable(SMP2DSteerableConfig(
         max_nVertices, nLevels, nChanels, nFeatures, nDepth,
-        filter="unrestricted", momentum_param=momentum_param), seed)
+        filter="unrestricted", radj_self_loops=False,
+        momentum_param=momentum_param), seed)
 
 
 def Unrestricted_SMP_2D_ver2(max_nVertices, nLevels, nChanels, nFeatures,
@@ -384,4 +426,5 @@ def Unrestricted_SMP_2D_ver2(max_nVertices, nLevels, nChanels, nFeatures,
     """``Unrestricted_SMP_2D_ver2.h``: 4-D W[s] filters, channel growth."""
     return SMP2DSteerable(SMP2DSteerableConfig(
         max_nVertices, nLevels, nChanels, nFeatures, nDepth,
-        filter="unrestricted4d", momentum_param=momentum_param), seed)
+        filter="unrestricted4d", radj_self_loops=False,
+        momentum_param=momentum_param), seed)

@@ -312,3 +312,64 @@ def test_smp_omega_pairgraphs_matches_reference_binary(
     pred = float(h2 @ np.asarray(params["W3"]))
     np.testing.assert_allclose(pred, take(1)[0], rtol=1e-9)
     done()
+
+
+# ----------------------------------------------------------------------
+# SMP_2D (steerable second-order family)
+# ----------------------------------------------------------------------
+
+KINDS["smp2d"] = "SMP2D"
+
+
+@pytest.mark.parametrize("n,V,L,C,hasWL,seed", [
+    (5, 5, 2, 4, 1, 555),
+    (6, 7, 2, 3, 0, 666),    # padded V, no WL ordering
+])
+def test_smp_2d_steerable_matches_reference_binary(tmp_path, n, V, L, C,
+                                                   hasWL, seed):
+    from graphflow_tpu.models.smp2d_steerable import (
+        SMP2DSteerableConfig, init_params, steerable_states, forward,
+        strip_radj_self_loops)
+
+    nFeat, nDepth = 4, 3
+    cfg = SMP2DSteerableConfig(
+        max_nVertices=V, nLevels=L, nChanels=C, nFeatures=nFeat,
+        nDepth=nDepth, filter="steerable", has_WL_ordering=bool(hasWL),
+        radj_self_loops=False, dtype="float64")
+    params = _cast64(init_params(jax.random.PRNGKey(0), cfg))
+    mol = build_molecule(n, nFeat, seed)
+
+    # Registration order (SMP_2D.h:227-236): H; per level, per size
+    # 1..V: (lambda1[s], lambda2[s], b[s]); then scalar; then W.
+    fn = str(tmp_path / "w.txt")
+    arrays = [params["H"]]
+    for l in range(L):
+        lev = params["levels"][l]
+        for s in range(1, V + 1):
+            arrays += [lev["lambda1"][s], lev["lambda2"][s], lev["b"][s]]
+        arrays.append(lev["scalar"])
+    arrays.append(params["W"])
+    _write_weights(fn, arrays)
+
+    take, done = _tokens("smp2d", [n, V, L, C, nFeat, nDepth, hasWL, seed,
+                                   fn])
+    pg = prep.prepare_graph(mol, L, V, None, nDepth,
+                            has_WL_ordering=bool(hasWL), dtype=np.float64)
+    pg = strip_radj_self_loops(pg, mol)   # SMP_2D raw-diagonal convention
+    g = _g64(pg)
+    states = steerable_states(params, g, cfg)
+    sizes = np.asarray(pg.sizes)
+    for l in range(L + 1):
+        arr = np.asarray(states[l])
+        for v in range(n):
+            s_ref = int(take(1)[0])
+            f_ref = take(s_ref * s_ref * C).reshape(s_ref, s_ref, C)
+            assert sizes[l, v] == s_ref, (l, v, sizes[l, v], s_ref)
+            np.testing.assert_allclose(
+                arr[v, :s_ref, :s_ref, :], f_ref, rtol=1e-9, atol=1e-12,
+                err_msg=f"level {l} vertex {v}")
+    pred, gf = forward(params, g, cfg)
+    np.testing.assert_allclose(np.asarray(gf), take(C), rtol=1e-9,
+                               atol=1e-12, err_msg="graph_feature")
+    np.testing.assert_allclose(float(pred), take(1)[0], rtol=1e-9)
+    done()

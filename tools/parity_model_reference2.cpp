@@ -42,6 +42,8 @@
 #include "GraphFlow/NeuralFingerprint.h"
 #elif defined(PARITY_KIND_OMEGAPAIR)
 #include "GraphFlow/SMP_omega_pairgraphs.h"
+#elif defined(PARITY_KIND_SMP2D)
+#include "GraphFlow/SMP_2D.h"
 #else
 #error "define one PARITY_KIND_*"
 #endif
@@ -182,6 +184,37 @@ int main(int argc, char **argv) {
         dump(model->graph_feature);
         dump(model->hidden_relu_1);
         dump(model->hidden_relu_2);
+        printf("%.17g\n", model->predict->value[0]);
+    }
+#elif defined(PARITY_KIND_SMP2D)
+    // smp2d n V L C nFeat nDepth has_WL seed weights.txt
+    // Output: per level l=0..L, per vertex: size, then f[v] (size*size*C
+    // Tensor3D row-major); then graph_feature (C), predict (1).
+    if (!strcmp(kind, "smp2d")) {
+        int n = atoi(argv[2]), V = atoi(argv[3]), L = atoi(argv[4]);
+        int C = atoi(argv[5]), nFeat = atoi(argv[6]), nDepth = atoi(argv[7]);
+        int hasWL = atoi(argv[8]);
+        unsigned long long seed = (unsigned long long)atoll(argv[9]);
+        const char *weights = argv[10];
+        DenseGraph *mol = make_molecule(n, nFeat, seed);
+        printf("# kind smp2d n %d V %d L %d C %d\n", n, V, L, C);
+        SMP_2D *model = new SMP_2D(V, L, C, nFeat, nDepth, 0.9,
+                                   hasWL != 0);
+        model->load_model(weights);
+        model->complete_computation_graph(mol);
+        model->graph->forward();
+        for (int l = 0; l <= L; ++l) {
+            for (int v = 0; v < n; ++v) {
+                int size = (l == 0) ? 1
+                    : (int)model->level[l]->phi[v].size();
+                printf("%d ", size);
+                Tensor3D *f = model->level[l]->f[v];
+                for (int i = 0; i < f->size; ++i)
+                    printf("%.17g ", f->value[i]);
+                printf("\n");
+            }
+        }
+        dump(model->graph_feature);
         printf("%.17g\n", model->predict->value[0]);
     }
 #endif
