@@ -48,6 +48,11 @@ class GCNConfig:
     order: int = 1                    # 1 | 2 | 3 (RisiLayer order)
     momentum_param: float = 0.9
     use_distance_channel: bool = False
+    # Plain GCN_2D's neighbor rule is ``sp(v,u) <= l`` with NO max_Radius
+    # cap (``GCN_2D.h:230``) — unlike GCN_1D/GCN_3D and every _Distance /
+    # GRU variant, which use min(l, max_Radius).  A reference quirk
+    # uncovered by the round-4 binary-parity harness.
+    uncapped_radius: bool = False
     optimizer: str = "momentum"
     dtype: str = "float32"
 
@@ -140,7 +145,7 @@ def gcn_states(params, g, cfg: GCNConfig):
     vmask, sp = g["vmask"], g["sp"]
 
     def M_of(l):
-        radius = min(l, cfg.max_Radius)
+        radius = l if cfg.uncapped_radius else min(l, cfg.max_Radius)
         return ((sp <= radius).astype(vmask.dtype)
                 * vmask[:, None] * vmask[None, :])
 
@@ -155,7 +160,7 @@ def gcn_forward(params, g, cfg: GCNConfig):
     sp = g["sp"]
 
     def M_of(l):
-        radius = min(l, cfg.max_Radius)
+        radius = l if cfg.uncapped_radius else min(l, cfg.max_Radius)
         return ((sp <= radius).astype(vmask.dtype)
                 * vmask[:, None] * vmask[None, :])
 
@@ -222,9 +227,11 @@ def GCN_1D(nLevels, max_nVertices, nFeatures, nHiddens, nDepth, max_Radius,
 
 def GCN_2D(nLevels, max_nVertices, nFeatures, nHiddens, nDepth, max_Radius,
            momentum_param=0.9, seed=0) -> GCN:
-    """``GCN_2D.h``: RisiLayer2D aggregation."""
+    """``GCN_2D.h``: RisiLayer2D aggregation.  Note the reference quirk:
+    plain GCN_2D's neighbor radius is ``l``, NOT min(l, max_Radius)
+    (``GCN_2D.h:230``; the cap exists in every other family member)."""
     return GCN(GCNConfig(nLevels, max_nVertices, nFeatures, nHiddens, nDepth,
-                         max_Radius, order=2,
+                         max_Radius, order=2, uncapped_radius=True,
                          momentum_param=momentum_param), seed)
 
 

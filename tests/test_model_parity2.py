@@ -30,8 +30,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HARNESS_SRC = os.path.join(REPO, "tools", "parity_model_reference2.cpp")
 REFERENCE = "/root/reference"
 
-KINDS = {"gcn1d": "GCN1D", "gru": "GRU", "nf": "NF",
-         "omegapair": "OMEGAPAIR"}
+KINDS = {"gcn1d": "GCN1D", "gcn2d": "GCN2D", "gcn3d": "GCN3D",
+         "gru": "GRU", "nf": "NF", "omegapair": "OMEGAPAIR"}
 
 
 def _bin(kind):
@@ -125,6 +125,53 @@ def test_gcn1d_matches_reference_binary(tmp_path, n, V, L, H, R, seed):
     _write_weights(fn, arrays)
 
     take, done = _tokens("gcn1d", [n, V, L, H, nFeat, nDepth, R, seed, fn])
+    pg = prep.prepare_graph(mol, L, V, 1, nDepth, dtype=np.float64)
+    g = _g64(pg)
+    states, final = gcn_states(params, g, cfg)
+    for l in range(L + 1):
+        ours = np.asarray(states[l])[:n]
+        for v in range(n):
+            np.testing.assert_allclose(ours[v], take(H), rtol=1e-9,
+                                       atol=1e-12,
+                                       err_msg=f"level {l} vertex {v}")
+    np.testing.assert_allclose(np.asarray(final), take(H), rtol=1e-9,
+                               atol=1e-12, err_msg="final_feature")
+    pred = float(np.asarray(final) @ np.asarray(params["W"]))
+    np.testing.assert_allclose(pred, take(1)[0], rtol=1e-9)
+    done()
+
+
+@pytest.mark.parametrize("kind,order,n,V,L,H,R,seed", [
+    ("gcn2d", 2, 6, 6, 2, 5, 1, 1212),
+    ("gcn2d", 2, 7, 8, 2, 4, 2, 1313),
+    ("gcn3d", 3, 6, 6, 2, 4, 1, 1414),
+    ("gcn3d", 3, 5, 7, 2, 3, 2, 1515),
+])
+def test_gcn_2d_3d_match_reference_binary(tmp_path, kind, order, n, V, L,
+                                          H, R, seed):
+    """GCN_2D/GCN_3D: pins the RisiLayer2D closed form
+    (inclusion-exclusion over unordered pairs, GCN_2D.h:77-86) and
+    RisiLayer3D + KMax pooling (GCN_3D.h:77-87)."""
+    from graphflow_tpu.models.gcn import (GCNConfig, init_gcn_params,
+                                          gcn_states)
+
+    nFeat, nDepth = 4, 3
+    cfg = GCNConfig(nLevels=L, max_nVertices=V, nFeatures=nFeat, nHiddens=H,
+                    nDepth=nDepth, max_Radius=R, order=order,
+                    uncapped_radius=(order == 2), dtype="float64")
+    params = _cast64(init_gcn_params(jax.random.PRNGKey(0), cfg))
+    mol = build_molecule(n, nFeat, seed)
+
+    fn = str(tmp_path / "w.txt")
+    arrays = []
+    for l in range(L + 1):
+        arrays.append(params["levels"][l]["W1"])
+        if l > 0:
+            arrays.append(params["levels"][l]["W2"])
+    arrays.append(params["W"])
+    _write_weights(fn, arrays)
+
+    take, done = _tokens(kind, [n, V, L, H, nFeat, nDepth, R, seed, fn])
     pg = prep.prepare_graph(mol, L, V, 1, nDepth, dtype=np.float64)
     g = _g64(pg)
     states, final = gcn_states(params, g, cfg)

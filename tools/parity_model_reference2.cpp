@@ -36,6 +36,13 @@
 #include "GraphFlow/DenseGraph.h"
 #if defined(PARITY_KIND_GCN1D)
 #include "GraphFlow/GCN_1D.h"
+#define GCN_MODEL GCN_1D
+#elif defined(PARITY_KIND_GCN2D)
+#include "GraphFlow/GCN_2D.h"
+#define GCN_MODEL GCN_2D
+#elif defined(PARITY_KIND_GCN3D)
+#include "GraphFlow/GCN_3D.h"
+#define GCN_MODEL GCN_3D
 #elif defined(PARITY_KIND_GRU)
 #include "GraphFlow/GRU_GCN_1D.h"
 #elif defined(PARITY_KIND_NF)
@@ -83,8 +90,9 @@ int main(int argc, char **argv) {
     if (argc < 2) { fprintf(stderr, "usage: see header\n"); return 1; }
     const char *kind = argv[1];
 
-#if defined(PARITY_KIND_GCN1D) || defined(PARITY_KIND_GRU)
-    if (!strcmp(kind, "gcn1d") || !strcmp(kind, "gru")) {
+#if defined(PARITY_KIND_GCN1D) || defined(PARITY_KIND_GCN2D) || \
+    defined(PARITY_KIND_GCN3D) || defined(PARITY_KIND_GRU)
+    if (!strncmp(kind, "gcn", 3) || !strcmp(kind, "gru")) {
         int n = atoi(argv[2]), V = atoi(argv[3]), L = atoi(argv[4]);
         int H = atoi(argv[5]), nFeat = atoi(argv[6]), nDepth = atoi(argv[7]);
         int R = atoi(argv[8]);
@@ -93,9 +101,9 @@ int main(int argc, char **argv) {
         DenseGraph *mol = make_molecule(n, nFeat, seed);
         printf("# kind %s n %d V %d L %d H %d\n", kind, n, V, L, H);
 
-#if defined(PARITY_KIND_GCN1D)
-        if (!strcmp(kind, "gcn1d")) {
-            GCN_1D *model = new GCN_1D(L, V, nFeat, H, nDepth, R, 0.9);
+#if defined(GCN_MODEL)
+        if (!strncmp(kind, "gcn", 3)) {
+            GCN_MODEL *model = new GCN_MODEL(L, V, nFeat, H, nDepth, R, 0.9);
             model->load_model(weights);
             model->complete_computation_graph(mol);
             model->graph->forward();
