@@ -79,6 +79,11 @@ class SMP2DSteerableConfig:
     # (``SMP_2D_ver4.h:488-493``).  prep builds the forced-1 form; with
     # False the diagonal is restored to the raw adjacency's.
     radj_self_loops: bool = True
+    # ver4(_cls)/ver5 additionally ROW-NORMALIZE the (diag-1) reduced
+    # adjacency: each row is divided by its row sum, i.e. the closed
+    # degree within phi (``SMP_2D_ver4.h:481-502``) — a third reference
+    # convention, also uncovered by the binary-parity harness.
+    radj_row_normalize: bool = False
     nClasses: Optional[int] = None
     optimizer: str = "momentum"
     momentum_param: float = 0.9
@@ -312,6 +317,19 @@ def strip_radj_self_loops(pg, graph: DenseGraph):
     return _dc.replace(pg, radj=radj.astype(pg.radj.dtype))
 
 
+def row_normalize_radj(pg):
+    """Row-normalize each reduced-adjacency block by its row sums (the
+    closed degree within phi) — the ver4/ver5 convention
+    (``SMP_2D_ver4.h:481-502``)."""
+    import dataclasses as _dc
+
+    radj = np.array(pg.radj, np.float64)
+    rowsum = radj.sum(axis=3, keepdims=True)
+    radj = np.where(rowsum > 0, radj / np.where(rowsum == 0, 1.0, rowsum),
+                    radj)
+    return _dc.replace(pg, radj=radj.astype(pg.radj.dtype))
+
+
 class SMP2DSteerable(GraphModel):
     def __init__(self, cfg: SMP2DSteerableConfig, seed: int = 0):
         kwargs = ({"gamma": cfg.momentum_param}
@@ -329,6 +347,8 @@ class SMP2DSteerable(GraphModel):
             dtype=np.dtype(self.cfg.dtype))
         if not self.cfg.radj_self_loops:
             pg = strip_radj_self_loops(pg, graph)
+        if self.cfg.radj_row_normalize:
+            pg = row_normalize_radj(pg)
         return pg
 
     def _forward(self, params, g):
@@ -390,7 +410,8 @@ def SMP_2D_ver4(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
     concatenated with CHANNEL GROWTH (C_l = 2 C_{l-1}); no reducer."""
     return SMP2DSteerable(SMP2DSteerableConfig(
         max_nVertices, nLevels, nChanels, nFeatures, nDepth,
-        filter="concat", momentum_param=momentum_param), seed)
+        filter="concat", radj_row_normalize=True,
+        momentum_param=momentum_param), seed)
 
 
 def SMP_2D_ver4_classification(max_nVertices, nLevels, nChanels, nFeatures,
@@ -398,7 +419,7 @@ def SMP_2D_ver4_classification(max_nVertices, nLevels, nChanels, nFeatures,
     """``SMP_2D_ver4_classification.h``."""
     return SMP2DSteerable(SMP2DSteerableConfig(
         max_nVertices, nLevels, nChanels, nFeatures, nDepth,
-        filter="concat", nClasses=nClasses,
+        filter="concat", nClasses=nClasses, radj_row_normalize=True,
         momentum_param=momentum_param), seed)
 
 
@@ -409,7 +430,8 @@ def SMP_2D_ver5(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
     constant channel width."""
     return SMP2DSteerable(SMP2DSteerableConfig(
         max_nVertices, nLevels, nChanels, nFeatures, nDepth,
-        filter="concat_k", momentum_param=momentum_param), seed)
+        filter="concat_k", radj_row_normalize=True,
+        momentum_param=momentum_param), seed)
 
 
 def Unrestricted_SMP_2D(max_nVertices, nLevels, nChanels, nFeatures, nDepth,

@@ -31,7 +31,8 @@ HARNESS_SRC = os.path.join(REPO, "tools", "parity_model_reference2.cpp")
 REFERENCE = "/root/reference"
 
 KINDS = {"gcn1d": "GCN1D", "gcn2d": "GCN2D", "gcn3d": "GCN3D",
-         "gru": "GRU", "nf": "NF", "omegapair": "OMEGAPAIR"}
+         "gru": "GRU", "nf": "NF", "omegapair": "OMEGAPAIR",
+         "smp2dver4": "SMP2DVER4"}
 
 
 def _bin(kind):
@@ -418,5 +419,62 @@ def test_smp_2d_steerable_matches_reference_binary(tmp_path, n, V, L, C,
     pred, gf = forward(params, g, cfg)
     np.testing.assert_allclose(np.asarray(gf), take(C), rtol=1e-9,
                                atol=1e-12, err_msg="graph_feature")
+    np.testing.assert_allclose(float(pred), take(1)[0], rtol=1e-9)
+    done()
+
+
+@pytest.mark.parametrize("n,V,L,C,hasWL,seed", [
+    (5, 5, 2, 3, 1, 777),
+    (6, 7, 2, 2, 1, 888),    # padded V
+])
+def test_smp_2d_ver4_matches_reference_binary(tmp_path, n, V, L, C, hasWL,
+                                              seed):
+    """SMP_2D_ver4 (vector-lambda concat filter, channel growth x2,
+    forced-1 reduced-adjacency diagonal — SMP_2D_ver4.h:130-180,488-493)
+    against the compiled reference binary."""
+    from graphflow_tpu.models.smp2d_steerable import (
+        SMP2DSteerableConfig, init_params, steerable_states, forward,
+        row_normalize_radj)
+
+    nFeat, nDepth = 4, 3
+    cfg = SMP2DSteerableConfig(
+        max_nVertices=V, nLevels=L, nChanels=C, nFeatures=nFeat,
+        nDepth=nDepth, filter="concat", has_WL_ordering=bool(hasWL),
+        radj_row_normalize=True, dtype="float64")
+    params = _cast64(init_params(jax.random.PRNGKey(0), cfg))
+    mol = build_molecule(n, nFeat, seed)
+
+    fn = str(tmp_path / "w.txt")
+    arrays = [params["H"]]
+    for l in range(L):
+        lev = params["levels"][l]
+        for s in range(1, V + 1):
+            arrays += [lev["lambda1"][s], lev["lambda2"][s], lev["b"][s]]
+        arrays.append(lev["scalar"])
+    arrays.append(params["W"])
+    _write_weights(fn, arrays)
+
+    take, done = _tokens("smp2dver4", [n, V, L, C, nFeat, nDepth, hasWL,
+                                       seed, fn])
+    pg = prep.prepare_graph(mol, L, V, None, nDepth,
+                            has_WL_ordering=bool(hasWL), dtype=np.float64)
+    pg = row_normalize_radj(pg)   # ver4: diag-1 + row-normalized
+    g = _g64(pg)
+    states = steerable_states(params, g, cfg)
+    sizes = np.asarray(pg.sizes)
+    for l in range(L + 1):
+        Cl = cfg.channels_at(l)
+        arr = np.asarray(states[l])
+        for v in range(n):
+            s_ref = int(take(1)[0])
+            f_ref = take(s_ref * s_ref * Cl).reshape(s_ref, s_ref, Cl)
+            assert sizes[l, v] == s_ref, (l, v, sizes[l, v], s_ref)
+            np.testing.assert_allclose(
+                arr[v, :s_ref, :s_ref, :], f_ref, rtol=1e-9, atol=1e-12,
+                err_msg=f"level {l} vertex {v}")
+    pred, gf = forward(params, g, cfg)
+    np.testing.assert_allclose(np.asarray(gf), take(cfg.channels_at(L)),
+                               rtol=1e-9, atol=1e-12,
+                               err_msg="graph_feature")
     np.testing.assert_allclose(float(pred), take(1)[0], rtol=1e-9)
     done()

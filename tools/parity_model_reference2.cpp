@@ -51,6 +51,10 @@
 #include "GraphFlow/SMP_omega_pairgraphs.h"
 #elif defined(PARITY_KIND_SMP2D)
 #include "GraphFlow/SMP_2D.h"
+#define SMP2D_MODEL SMP_2D
+#elif defined(PARITY_KIND_SMP2DVER4)
+#include "GraphFlow/SMP_2D_ver4.h"
+#define SMP2D_MODEL SMP_2D_ver4
 #else
 #error "define one PARITY_KIND_*"
 #endif
@@ -194,20 +198,20 @@ int main(int argc, char **argv) {
         dump(model->hidden_relu_2);
         printf("%.17g\n", model->predict->value[0]);
     }
-#elif defined(PARITY_KIND_SMP2D)
-    // smp2d n V L C nFeat nDepth has_WL seed weights.txt
-    // Output: per level l=0..L, per vertex: size, then f[v] (size*size*C
-    // Tensor3D row-major); then graph_feature (C), predict (1).
-    if (!strcmp(kind, "smp2d")) {
+#elif defined(SMP2D_MODEL)
+    // smp2d|smp2dver4 n V L C nFeat nDepth has_WL seed weights.txt
+    // Output: per level l=0..L, per vertex: size, then f[v] (f->size
+    // Tensor3D row-major values); then graph_feature, predict (1).
+    if (!strncmp(kind, "smp2d", 5)) {
         int n = atoi(argv[2]), V = atoi(argv[3]), L = atoi(argv[4]);
         int C = atoi(argv[5]), nFeat = atoi(argv[6]), nDepth = atoi(argv[7]);
         int hasWL = atoi(argv[8]);
         unsigned long long seed = (unsigned long long)atoll(argv[9]);
         const char *weights = argv[10];
         DenseGraph *mol = make_molecule(n, nFeat, seed);
-        printf("# kind smp2d n %d V %d L %d C %d\n", n, V, L, C);
-        SMP_2D *model = new SMP_2D(V, L, C, nFeat, nDepth, 0.9,
-                                   hasWL != 0);
+        printf("# kind %s n %d V %d L %d C %d\n", kind, n, V, L, C);
+        SMP2D_MODEL *model = new SMP2D_MODEL(V, L, C, nFeat, nDepth, 0.9,
+                                             hasWL != 0);
         model->load_model(weights);
         model->complete_computation_graph(mol);
         model->graph->forward();
