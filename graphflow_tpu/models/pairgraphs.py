@@ -146,7 +146,9 @@ class SMPPairGraphs(PairGraphModel):
                  max_receptive_field: int, nLevels: int, nChanels: int,
                  nFeatures_1: int, nFeatures_2: int, use_coulomb=False,
                  contraction: int = 18, dropout_nKept: Optional[int] = None,
-                 channel_schedule: Optional[tuple] = None, seed: int = 0):
+                 channel_schedule: Optional[tuple] = None,
+                 head_dims: Optional[tuple] = None,
+                 l1_normalize_features: bool = False, seed: int = 0):
         super().__init__(optimizer="adam")
         # Every reference pairgraphs tower HALVES the channel count per
         # level: C_l = max(C_{l-1} / 2, 1)
@@ -168,7 +170,8 @@ class SMPPairGraphs(PairGraphModel):
             has_WL_ordering=False, use_wl_features=False,
             channel_schedule=schedule,
             **({"use_coulomb": use_coulomb, "contraction": contraction}
-               if order == 2 else {}))
+               if order == 2 else
+               {"l1_normalize_features": l1_normalize_features}))
         self.order = order
         self.cfg1 = mk_cfg(max_nVertices_1, nFeatures_1)
         self.cfg2 = mk_cfg(max_nVertices_2, nFeatures_2)
@@ -178,7 +181,11 @@ class SMPPairGraphs(PairGraphModel):
         # nTotalFeatures = sum over levels of both towers' channel counts
         # (SMP_omega_pairgraphs.h:323-328).
         nTotal = 2 * sum(schedule)
-        h1, h2 = _mlp_head_dims(nTotal)
+        # CCN_1D sizes the head by the same ceil-decay rule as the tower
+        # (``CCN_1D.h:352-353``); the SMP pairgraph heads use max(n/2, 10)
+        # (``SMP_omega_pairgraphs.h:332-333``).
+        h1, h2 = head_dims if head_dims is not None else _mlp_head_dims(nTotal)
+        self.head_dims = (h1, h2)
         from graphflow_tpu.optim.utils import uniform_init
         init_fn = init_smp2d_params if order == 2 else init_smp1d_params
         keys = jax.random.split(jax.random.PRNGKey(seed), 5)
@@ -285,23 +292,39 @@ def CCN_1D(max_nVertices_1, max_nVertices_2, max_receptive_field, nLevels,
     ``BatchLearn(nBatch, molecule_1, molecule_2, target, lr)``,
     ``Predict(m1, m2)``; ``CCN_1D.h:658,874,1060``).
 
-    ``nChanels_decay`` shrinks channels per level in the reference
-    (``CCN_1D.h:217``: C_l = max(ceil(C_{l-1} * decay), minimum)); the
-    per-level schedule is reproduced here over the theta tower.  Documented
-    divergence: the reference CCN_1D tower uses the steerable
-    lambda/W_eye/W_one channel-concat filter (``CCN_1D.h:60-76``) rather
-    than theta's [l1*sum ; l2*1@sum] @ K reducer; the driver surface,
-    receptive-field/pair semantics and channel schedule match.
+    The tower is the steerable lambda1/lambda2 (W_eye/W_one) channel-concat
+    filter reduced by the per-level K (``CCN_1D.h:59-106,592-636``) — the
+    exact computation of the theta filter in ``smp1d.smp1d_states`` — with
+    CCN's own conventions on top, all binary-pinned in
+    ``tests/test_model_parity3.py``:
+
+    - per-vertex L1 feature normalization (``CCN_1D.h:440-448``),
+    - ceil-decay channel schedule with a 16-channel floor
+      (``CCN_1D.h:217``: C_l = max(ceil(C_{l-1} * decay), 16)),
+    - head widths by the same decay rule (``CCN_1D.h:352-353``:
+      h1 = max(ceil(nTotal * decay), 16), h2 = max(ceil(h1 * decay), 16)),
+    - nChanels >= 16 enforced at construction (``CCN_1D.h:30,37``).
     """
     import math
     CCN_1D_MIN_CHANNELS = 16  # ``CCN_1D.h:30`` minimum-channel guard
-    schedule = [max(nChanels, CCN_1D_MIN_CHANNELS)]
+    if nChanels < CCN_1D_MIN_CHANNELS:
+        raise ValueError(
+            f"CCN_1D requires nChanels >= {CCN_1D_MIN_CHANNELS} "
+            f"(CCN_1D.h:37), got {nChanels}")
+    if not (0.0 < nChanels_decay <= 1.0):
+        raise ValueError("CCN_1D requires 0 < nChanels_decay <= 1 "
+                         "(CCN_1D.h:38-39)")
+    schedule = [nChanels]
     for _ in range(nLevels):
         schedule.append(max(int(math.ceil(schedule[-1] * nChanels_decay)),
                             CCN_1D_MIN_CHANNELS))
+    nTotal = 2 * sum(schedule)
+    h1 = max(int(math.ceil(nTotal * nChanels_decay)), CCN_1D_MIN_CHANNELS)
+    h2 = max(int(math.ceil(h1 * nChanels_decay)), CCN_1D_MIN_CHANNELS)
     return SMPPairGraphs(1, max_nVertices_1, max_nVertices_2,
                          max_receptive_field, nLevels, nChanels, nFeatures_1,
                          nFeatures_2, channel_schedule=tuple(schedule),
+                         head_dims=(h1, h2), l1_normalize_features=True,
                          seed=seed)
 
 

@@ -66,6 +66,9 @@ class SMP1DConfig:
     filter: str = "theta"
     has_WL_ordering: bool = True
     use_wl_features: bool = True
+    # CCN_1D L1-normalizes each vertex's raw feature vector before H
+    # (``CCN_1D.h:440-448``); no other first-order model does.
+    l1_normalize_features: bool = False
     nClasses: Optional[int] = None
     optimizer: str = "adam"
     dtype: str = "float32"
@@ -102,7 +105,12 @@ def init_smp1d_params(key, cfg: SMP1DConfig):
     V1 = cfg.max_nVertices + 1  # per-size params, index by |phi| in [1, V]
     keys = jax.random.split(key, 2 + 6 * cfg.nLevels)
     ki = iter(keys)
-    params = {"H": uniform_init(next(ki), (cfg.nChanels, cfg.feat_dim), dtype),
+    # H maps raw features into the LEVEL-0 channel count.  These coincide
+    # for every reference model (CCN_1D asserts nChanels >= its 16-channel
+    # floor, ``CCN_1D.h:37``); sizing by channels_at(0) keeps the state
+    # allocation and H consistent under any custom channel_schedule.
+    params = {"H": uniform_init(next(ki), (cfg.channels_at(0), cfg.feat_dim),
+                                dtype),
               "levels": []}
     for l in range(cfg.nLevels):
         C_prev, C = cfg.channels_at(l), cfg.channels_at(l + 1)
@@ -157,7 +165,13 @@ def smp1d_states(params, g, cfg: SMP1DConfig):
     """Run the tower, returning per-level matrix states [V, P, C_l]."""
     V, P = g["vmask"].shape[0], cfg.P
 
-    F0 = activations.leaky_relu(g["wl_feat"] @ params["H"].T)     # [V, C]
+    feat = g["wl_feat"]
+    if cfg.l1_normalize_features:
+        # CCN_1D.h:440-448: feature[v] /= sum_f |feature[v][f]| (guard the
+        # all-zero pad rows; real vertices always have nonzero features).
+        norm = jnp.abs(feat).sum(axis=-1, keepdims=True)
+        feat = feat / jnp.where(norm > 0, norm, 1.0)
+    F0 = activations.leaky_relu(feat @ params["H"].T)             # [V, C]
     state = jnp.zeros((V, P, cfg.channels_at(0)), F0.dtype).at[:, 0, :].set(
         F0 * g["vmask"][:, None])
     states = [state]

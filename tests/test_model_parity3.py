@@ -1,0 +1,193 @@
+"""Binary activation parity, part 3 (VERDICT r4 items 1-2): CCN_1D, the
+steerable leftovers (SMP_2D_ver2/ver5, Unrestricted_SMP_2D(+ver2)), SMP_1D,
+LCNN, GCA_1D, the physics/Coulomb input path and the sorted-distance
+GCN_*_Distance channel — pinned against the compiled reference binary.
+
+tools/parity_model_reference3.cpp (one binary per kind — the reference
+headers collide at file scope) builds each reference model on a
+deterministic molecule, loads weights from file, runs one forward and dumps
+every per-level intermediate.  Here the identical molecule + weights run
+through graphflow_tpu in float64 and every activation must match at 1e-9.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+import jax
+
+from graphflow_tpu.core import prep, batching
+
+from test_model_parity import build_molecule, _LCG
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HARNESS_SRC = os.path.join(REPO, "tools", "parity_model_reference3.cpp")
+REFERENCE = "/root/reference"
+
+KINDS = {"ccn1d": "CCN1D"}
+
+
+def _bin(kind):
+    return f"/tmp/graphflow_parity3_{kind}"
+
+
+def _build():
+    if not os.path.isdir(REFERENCE):
+        return False
+    try:
+        src_mtime = os.path.getmtime(HARNESS_SRC)
+        for kind, macro in KINDS.items():
+            if (os.path.exists(_bin(kind))
+                    and os.path.getmtime(_bin(kind)) > src_mtime):
+                continue
+            subprocess.run(
+                ["g++", "-O2", "-std=c++11", "-pthread", f"-I{REFERENCE}",
+                 f"-DPARITY_KIND_{macro}", HARNESS_SRC, "-o", _bin(kind)],
+                check=True, capture_output=True, timeout=300)
+        return True
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(not _build(),
+                                reason="reference tree or g++ unavailable")
+
+
+def _tokens(kind, args):
+    out = subprocess.run([_bin(kind), kind] + [str(a) for a in args],
+                         check=True, capture_output=True, timeout=300,
+                         text=True)
+    lines = [l for l in out.stdout.splitlines()
+             if l and not l.startswith("#")]
+    toks = " ".join(lines).split()
+    pos = [0]
+
+    def take(k):
+        vals = np.array([float(x) for x in toks[pos[0]:pos[0] + k]])
+        pos[0] += k
+        return vals
+
+    def done():
+        assert pos[0] == len(toks), (pos[0], len(toks))
+
+    return take, done
+
+
+def _write_weights(fn, arrays):
+    with open(fn, "w") as f:
+        for a in arrays:
+            for v in np.asarray(a, np.float64).reshape(-1):
+                f.write(f"{float(v)} ")
+
+
+def _g64(pg):
+    batch = batching.stack_graphs([pg])
+    return jax.tree_util.tree_map(
+        lambda x: x[0].astype(np.float64)
+        if np.issubdtype(np.asarray(x).dtype, np.floating) else x[0], batch)
+
+
+def _cast64(tree):
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float64), tree)
+
+
+def build_multihot_molecule(n, nFeat, seed):
+    """make_molecule + the harness's deterministic multi-hot bump (so the
+    CCN_1D per-vertex L1 feature normalization is exercised)."""
+    mol = build_molecule(n, nFeat, seed)
+    for u in range(n):
+        mol.feature[u, u % nFeat] += 0.5
+    return mol
+
+
+# ----------------------------------------------------------------------
+# CCN_1D (pair-of-graphs steerable-concat-K towers, ceil-decay channels)
+# ----------------------------------------------------------------------
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n1,n2,V1,V2,rf,L,C,decay,seed", [
+    (5, 6, 5, 6, 4, 2, 16, 1.0, 505),
+    (6, 7, 7, 8, 3, 2, 17, 0.8, 606),   # padded + capped + odd-ceil decay
+])
+def test_ccn1d_matches_reference_binary(tmp_path, n1, n2, V1, V2, rf, L, C,
+                                        decay, seed):
+    """Pins the CCN_1D tower (lambda1/lambda2 W_eye/W_one concat -> K,
+    ``CCN_1D.h:592-636``), the L1 feature normalization (``:440-448``),
+    the ceil-decay channel schedule with 16-channel floor (``:217``) and
+    the decay-sized MLP head (``:352-353``)."""
+    from graphflow_tpu.models.pairgraphs import CCN_1D
+    from graphflow_tpu.models.smp1d import smp1d_states, smp1d_level_features
+    from graphflow_tpu.ops import activations
+
+    nF1 = nF2 = 4
+    model = CCN_1D(V1, V2, rf, L, C, nF1, nF2, nChanels_decay=decay, seed=0)
+    params = _cast64(model.params)
+    mol1 = build_multihot_molecule(n1, nF1, seed)
+    mol2 = build_multihot_molecule(n2, nF2, seed + 1000)
+
+    # Registration order (CCN_1D.h:382-403): H_1, H_2; per level: per size
+    # 1..V1 (lambda1, lambda2, b) then K for tower 1, same for tower 2;
+    # W1, W2, W3.
+    fn = str(tmp_path / "w.txt")
+    arrays = [params["tower1"]["H"], params["tower2"]["H"]]
+    for l in range(L):
+        for tower, V in (("tower1", V1), ("tower2", V2)):
+            lev = params[tower]["levels"][l]
+            for s in range(1, V + 1):
+                arrays += [lev["lambda1"][s:s + 1], lev["lambda2"][s:s + 1],
+                           lev["b"][s]]
+            arrays.append(lev["K"])
+    arrays += [params["W1"], params["W2"], params["W3"]]
+    _write_weights(fn, arrays)
+
+    take, done = _tokens("ccn1d", [n1, n2, V1, V2, rf, L, C, nF1, nF2,
+                                   decay, seed, fn])
+
+    cfg1, cfg2 = model.cfg1, model.cfg2
+    sched = cfg1.channel_schedule
+    pg1 = prep.prepare_graph(mol1, L, V1, rf, 0, has_WL_ordering=False,
+                             use_wl_features=False, dtype=np.float64)
+    pg2 = prep.prepare_graph(mol2, L, V2, rf, 0, has_WL_ordering=False,
+                             use_wl_features=False, dtype=np.float64)
+    g1, g2 = _g64(pg1), _g64(pg2)
+
+    st1 = smp1d_states(params["tower1"], g1, cfg1)
+    st2 = smp1d_states(params["tower2"], g2, cfg2)
+    for l in range(L + 1):
+        Cl = sched[l]
+        for (st, n, name) in ((st1, n1, "t1"), (st2, n2, "t2")):
+            arr = np.asarray(st[l])
+            for v in range(n):
+                s_ref = int(take(1)[0])
+                f_ref = take(s_ref * Cl).reshape(s_ref, Cl)
+                np.testing.assert_allclose(
+                    arr[v, :s_ref, :], f_ref, rtol=1e-9, atol=1e-12,
+                    err_msg=f"{name} level {l} vertex {v}")
+
+    f1 = [np.asarray(x) for x in
+          smp1d_level_features(params["tower1"], g1, cfg1)]
+    f2 = [np.asarray(x) for x in
+          smp1d_level_features(params["tower2"], g2, cfg2)]
+    for l in range(L + 1):
+        np.testing.assert_allclose(f1[l], take(sched[l]), rtol=1e-9,
+                                   atol=1e-12,
+                                   err_msg=f"level_feature_1[{l}]")
+        np.testing.assert_allclose(f2[l], take(sched[l]), rtol=1e-9,
+                                   atol=1e-12,
+                                   err_msg=f"level_feature_2[{l}]")
+    merged = np.concatenate([x for pair in zip(f1, f2) for x in pair])
+    nTotal = 2 * sum(sched)
+    np.testing.assert_allclose(merged, take(nTotal), rtol=1e-9,
+                               atol=1e-12, err_msg="graph_feature concat")
+    h1_dim, h2_dim = model.head_dims
+    h1 = np.asarray(activations.leaky_relu(params["W1"] @ merged))
+    np.testing.assert_allclose(h1, take(h1_dim), rtol=1e-9, atol=1e-12,
+                               err_msg="hidden_relu_1")
+    h2 = np.asarray(activations.leaky_relu(params["W2"] @ h1))
+    np.testing.assert_allclose(h2, take(h2_dim), rtol=1e-9, atol=1e-12,
+                               err_msg="hidden_relu_2")
+    pred = float(h2 @ np.asarray(params["W3"]))
+    np.testing.assert_allclose(pred, take(1)[0], rtol=1e-9)
+    done()

@@ -1,0 +1,131 @@
+// WHOLE-MODEL ground-truth dumps, part 3 (round 5): the families VERDICT r4
+// items 1-2 asked to pin against the compiled reference binary — CCN_1D,
+// the steerable leftovers (SMP_2D_ver2/ver5, Unrestricted_SMP_2D(+ver2)),
+// SMP_1D, LCNN, GCA_1D, the physics/Coulomb input path and the
+// GCN_*_Distance channel.  Same pattern as tools/parity_model_reference2.cpp:
+// deterministic molecule from a shared LCG, weights LOADED FROM FILE in the
+// model's registration order, one forward(), dump every intermediate.
+//
+// This file is original harness code that #includes the read-only reference
+// headers (a measurement of the reference, not part of the framework).
+//
+// Build: g++ -O2 -std=c++11 -pthread -I/root/reference \
+//          -DPARITY_KIND_<KIND> tools/parity_model_reference3.cpp \
+//          -o /tmp/graphflow_parity_<kind>
+// Usage:
+//   graphflow_parity_ccn1d ccn1d n1 n2 V1 V2 rf L C nF1 nF2 decay seed w.txt
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+// One reference model header per binary (file-scope globals collide).
+#include "GraphFlow/DenseGraph.h"
+#if defined(PARITY_KIND_CCN1D)
+#include "GraphFlow/CCN_1D.h"
+#else
+#error "define one PARITY_KIND_*"
+#endif
+
+static double next_value(unsigned long long &s) {
+    // Same LCG as tools/parity_model_reference.cpp.
+    s = s * 6364136223846793005ULL + 1442695040888963407ULL;
+    return ((double)((s >> 33) & 0x7FFFFFFF) / (double)0x7FFFFFFF) - 0.5;
+}
+
+static DenseGraph *make_molecule(int n, int nFeat, unsigned long long &seed) {
+    DenseGraph *mol = new DenseGraph(n, nFeat);
+    for (int u = 0; u < n; ++u) {
+        int fi = (int)((next_value(seed) + 0.5) * nFeat);
+        if (fi >= nFeat) fi = nFeat - 1;
+        mol->feature[u][fi] = 1.0;
+    }
+    for (int u = 0; u < n; ++u) {
+        for (int v = u + 1; v < n; ++v) {
+            if (next_value(seed) < -0.1) {
+                mol->adj[u][v] = mol->adj[v][u] = 1;
+            }
+        }
+    }
+    for (int u = 0; u + 1 < n; ++u) {
+        mol->adj[u][u + 1] = mol->adj[u + 1][u] = 1;
+    }
+    return mol;
+}
+
+// Deterministic multi-hot bump (no LCG draw) so per-vertex L1 feature
+// norms differ from 1 and the normalization path is actually exercised.
+static void multihot(DenseGraph *mol) {
+    for (int u = 0; u < mol->nVertices; ++u) {
+        mol->feature[u][u % mol->nFeatures] += 0.5;
+    }
+}
+
+static void dump(Vector *v) {
+    for (int i = 0; i < v->size; ++i) printf("%.17g ", v->value[i]);
+    printf("\n");
+}
+
+int main(int argc, char **argv) {
+    if (argc < 2) { fprintf(stderr, "usage: see header\n"); return 1; }
+    const char *kind = argv[1];
+
+#if defined(PARITY_KIND_CCN1D)
+    // ccn1d n1 n2 V1 V2 rf L C nF1 nF2 decay seed weights.txt
+    // Output: per level l=0..L: per vertex of graph1 (size then the
+    // size x C_l matrix f), then per vertex of graph2; per level
+    // level_feature_1 then level_feature_2; graph_feature; hidden_relu_1;
+    // hidden_relu_2; predict.
+    if (!strcmp(kind, "ccn1d")) {
+        int n1 = atoi(argv[2]), n2 = atoi(argv[3]);
+        int V1 = atoi(argv[4]), V2 = atoi(argv[5]), rf = atoi(argv[6]);
+        int L = atoi(argv[7]), C = atoi(argv[8]);
+        int nF1 = atoi(argv[9]), nF2 = atoi(argv[10]);
+        double decay = atof(argv[11]);
+        unsigned long long seed = (unsigned long long)atoll(argv[12]);
+        const char *weights = argv[13];
+        unsigned long long seed2 = seed + 1000ULL;
+        DenseGraph *mol1 = make_molecule(n1, nF1, seed);
+        DenseGraph *mol2 = make_molecule(n2, nF2, seed2);
+        multihot(mol1);
+        multihot(mol2);
+        printf("# kind ccn1d n1 %d n2 %d L %d C %d decay %g\n",
+               n1, n2, L, C, decay);
+        CCN_1D *model = new CCN_1D(V1, V2, rf, L, C, nF1, nF2, decay);
+        model->load_model(weights);
+        model->complete_computation_graph(mol1, mol2);
+        model->graph->forward();
+        for (int l = 0; l <= L; ++l) {
+            for (int v = 0; v < n1; ++v) {
+                int size = (int)model->level_1[l]->phi[v].size();
+                printf("%d ", size);
+                Matrix *f = model->level_1[l]->f[v];
+                for (int i = 0; i < f->size; ++i)
+                    printf("%.17g ", f->value[i]);
+                printf("\n");
+            }
+            for (int v = 0; v < n2; ++v) {
+                int size = (int)model->level_2[l]->phi[v].size();
+                printf("%d ", size);
+                Matrix *f = model->level_2[l]->f[v];
+                for (int i = 0; i < f->size; ++i)
+                    printf("%.17g ", f->value[i]);
+                printf("\n");
+            }
+        }
+        for (int l = 0; l <= L; ++l) {
+            dump(model->level_feature_1[l]);
+            dump(model->level_feature_2[l]);
+        }
+        dump(model->graph_feature);
+        dump(model->hidden_relu_1);
+        dump(model->hidden_relu_2);
+        printf("%.17g\n", model->predict->value[0]);
+    }
+#endif
+    else {
+        fprintf(stderr, "kind %s not built into this binary\n", kind);
+        return 1;
+    }
+    return 0;
+}
