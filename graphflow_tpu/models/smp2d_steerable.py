@@ -84,6 +84,20 @@ class SMP2DSteerableConfig:
     # degree within phi (``SMP_2D_ver4.h:481-502``) — a third reference
     # convention, also uncovered by the binary-parity harness.
     radj_row_normalize: bool = False
+    # ver2/ver3 and Unrestricted_ver2 register their Tensor4DTensor3DMul
+    # affine under the TENSORMUL opcode (``SMP_2D_ver2.h:588``,
+    # ``Unrestricted_SMP_2D_ver2.h:537``); GraphFlow's dispatcher C-casts
+    # the node and calls the NON-virtual ``TensorMul::forward``
+    # (``GraphFlow.h:615-620``), which reinterprets the 4-D filter's flat
+    # buffer through 3-D strides.  The shipped binaries therefore compute
+    #   out[i,j,d] = SUM_k Wflat[(i*s+k)*prevC + d] * qflat[(k*s+j)*prevC + d]
+    # — a scrambled prefix read of the filter parameters plus out-of-view
+    # q reads that land in never-written (zero) heap — NOT the
+    # Tensor4DTensor3DMul contraction the graph declares.  Verified
+    # deterministic (identical under MALLOC_PERTURB_) and binary-pinned in
+    # tests/test_model_parity3.py.  True (default) reproduces the executed
+    # behavior; False computes the declared spec.
+    engine_faithful: bool = True
     nClasses: Optional[int] = None
     optimizer: str = "momentum"
     momentum_param: float = 0.9
@@ -207,10 +221,110 @@ def _neighbor_quadratic_sum(state, vid_prev, adj1, vid_cur, V, Pp, C,
     return jnp.einsum("vqy,vpyc->vpqc", selc, out)              # [V, Pp, Pp, C]
 
 
-def steerable_states(params, g, cfg: SMP2DSteerableConfig):
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _tensormul_cast_tables(V: int, P: int, prevC: int):
+    """Index tables reproducing GraphFlow's TENSORMUL dispatch of a
+    Tensor4DTensor3DMul node (see SMP2DSteerableConfig.engine_faithful).
+
+    For a receptive field of size s the executed affine is
+      out[i,j,d] = SUM_{k<s} Wflat[(i*s+k)*prevC + d]
+                           * qflat[(k*s+j)*prevC + d],   d < D = 2*prevC,
+    where both flat indices are decoded in the COMPACT (s, s, ...) layouts
+    (TensorMul::forward reads the Tensor4D's nChanels1 through Tensor3D's
+    nDepth field offset).  All tables are stacked over sizes s = 0..V and
+    shaped [V+1, P, P, D]; indices are clipped in-range with separate
+    validity masks (invalid reads contribute zero — matching the
+    fresh-heap zeros the binary reads past the current view).
+    """
+    D = 2 * prevC
+    shape = (V + 1, P, P, D)
+    w_x = np.zeros(shape, np.int32); w_y = np.zeros(shape, np.int32)
+    w_cw = np.zeros(shape, np.int32); w_dw = np.zeros(shape, np.int32)
+    w_iseye = np.zeros(shape, bool); w_diag = np.zeros(shape, bool)
+    a_ok = np.zeros(shape, bool)
+    q_row = np.zeros(shape, np.int32); q_col = np.zeros(shape, np.int32)
+    q_ok = np.zeros(shape, bool)
+    i = np.arange(P)[:, None, None]
+    k = np.arange(P)[None, :, None]
+    d = np.arange(D)[None, None, :]
+    for s in range(1, V + 1):
+        # W read: m = (i*s+k)*prevC + d decoded in the compact
+        # (s, s, prevC, D) Tensor4D layout m = ((x*s+y)*prevC + cw)*D + dw.
+        m = (i * s + k) * prevC + d
+        a, dw = m // D, m % D
+        cw, xy = a % prevC, a // prevC
+        x, y = xy // s, xy % s
+        w_x[s], w_y[s] = np.minimum(x, P - 1), np.minimum(y, P - 1)
+        w_cw[s], w_dw[s] = cw, dw
+        w_iseye[s] = dw < prevC
+        w_diag[s] = np.where(dw < prevC, x == y, True)
+        a_ok[s] = (i < s) & (k < s) & (x < s)
+        # q read: mq = (k*s+j)*prevC + d decoded in the compact
+        # (s, s, prevC) layout; t2 >= s*s falls past the view -> zero.
+        t2 = i * s + k + d // prevC          # first axis plays k, second j
+        q_row[s] = np.minimum(t2 // s, P - 1)
+        q_col[s] = np.minimum(t2 % s, P - 1)
+        q_ok[s] = (i < s) & (k < s) & (t2 < s * s)
+    ccol = (np.arange(D) % prevC).astype(np.int32)
+    return dict(w_x=w_x, w_y=w_y, w_cw=w_cw, w_dw=w_dw, w_iseye=w_iseye,
+                w_diag=w_diag, a_ok=a_ok, q_row=q_row, q_col=q_col,
+                q_ok=q_ok, ccol=ccol)
+
+
+def _tensormul_cast_gather_q(q, tb, s, V, dt):
+    """Qx[v,k,j,d] = q[v, row, col, d % prevC] under the cast decode."""
+    vi = jnp.arange(V)[:, None, None, None]
+    q_row = jnp.asarray(tb["q_row"])[s]
+    q_col = jnp.asarray(tb["q_col"])[s]
+    q_ok = jnp.asarray(tb["q_ok"])[s].astype(dt)
+    ccol = jnp.asarray(tb["ccol"])[None, None, None, :]
+    return q[vi, q_row, q_col, ccol] * q_ok
+
+
+def _tensormul_cast_matrix_filter(q, L1, L2, s, V, P, prevC):
+    """As-executed ver2/ver3 filter: W built from matrix lambdas
+    (W_eye = eye (x) L1, W_one = one (x) L2, ``SMP_2D_ver2.h:577-585``)
+    then consumed through the TENSORMUL cast."""
+    dt = q.dtype
+    tb = _tensormul_cast_tables(V, P, prevC)
+    vi = jnp.arange(V)[:, None, None, None]
+    cw, dwc = jnp.asarray(tb["w_cw"])[s], jnp.asarray(tb["w_dw"])[s] % prevC
+    A1 = L1[vi, cw, dwc]
+    A2 = L2[vi, cw, dwc]
+    iseye = jnp.asarray(tb["w_iseye"])[s]
+    diag = jnp.asarray(tb["w_diag"])[s].astype(dt)
+    a_ok = jnp.asarray(tb["a_ok"])[s].astype(dt)
+    A = jnp.where(iseye, diag * A1, A2) * a_ok            # [V, P, P, D]
+    Qx = _tensormul_cast_gather_q(q, tb, s, V, dt)
+    return jnp.einsum("vikd,vkjd->vijd", A, Qx)
+
+
+def _tensormul_cast_full_filter(q, Wsel, s, V, P, prevC):
+    """As-executed Unrestricted_ver2 filter: the learned per-size Tensor4D
+    W[s] (s, s, prevC, C) consumed through the TENSORMUL cast
+    (``Unrestricted_SMP_2D_ver2.h:531-537``)."""
+    dt = q.dtype
+    tb = _tensormul_cast_tables(V, P, prevC)
+    vi = jnp.arange(V)[:, None, None, None]
+    A = Wsel[vi, jnp.asarray(tb["w_x"])[s], jnp.asarray(tb["w_y"])[s],
+             jnp.asarray(tb["w_cw"])[s], jnp.asarray(tb["w_dw"])[s]]
+    A = A * jnp.asarray(tb["a_ok"])[s].astype(dt)
+    Qx = _tensormul_cast_gather_q(q, tb, s, V, dt)
+    return jnp.einsum("vikd,vkjd->vijd", A, Qx)
+
+
+def steerable_states(params, g, cfg: SMP2DSteerableConfig,
+                     collect_presum=None):
     """Run the tower, returning the per-level vertex tensor states (list of
     [V, Pp, Pp, C_l] — the reference's ``level[l]->f[v]`` activations, for
-    binary-parity tests and ForDebugging-style dumps)."""
+    binary-parity tests and ForDebugging-style dumps).
+
+    ``collect_presum``: optional list; when given, the per-level pre-filter
+    aggregate (the reference's ``quadratic_plus_adj[v]`` — or bare
+    ``sum[v]`` when add_scalar_adj is off) is appended per level."""
     V, Pp = cfg.max_nVertices, cfg.P
 
     C0 = cfg.nChanels
@@ -241,6 +355,8 @@ def steerable_states(params, g, cfg: SMP2DSteerableConfig):
             q = q + (g["radj"][l][:, :, :, None]
                      * lev["scalar"][None, None, None])
         q = q * g["smask"][l + 1][:, :, :, None]
+        if collect_presum is not None:
+            collect_presum.append(q)
 
         # Row-broadcast column sums: (1_s @ M)[p1, p2] = sum_p M[p, p2]
         colsum = q.sum(axis=1)                                 # [V, Pp, C_prev]
@@ -264,19 +380,31 @@ def steerable_states(params, g, cfg: SMP2DSteerableConfig):
             z = jnp.einsum("kw,vxyw->vxyk", lev["K"], cat)     # K(2C->C)
         elif cfg.filter == "matrix":
             L1, L2 = lev["lambda1"][s], lev["lambda2"][s]      # [V, Cp, Cp]
-            p1 = jnp.einsum("vxyc,vcd->vxyd", q, L1)
-            p2 = jnp.einsum("vxyc,vcd->vxyd", ones_q, L2)
-            z = jnp.concatenate([p1, p2], axis=-1)             # [V,..,2 Cp]
+            if cfg.engine_faithful:
+                # What the ver2/ver3 binaries actually execute (the
+                # TENSORMUL cast — see engine_faithful).
+                z = _tensormul_cast_matrix_filter(q, L1, L2, s, V, Pp,
+                                                  C_prev)
+            else:
+                # The Tensor4DTensor3DMul contraction the graph declares.
+                p1 = jnp.einsum("vxyc,vcd->vxyd", q, L1)
+                p2 = jnp.einsum("vxyc,vcd->vxyd", ones_q, L2)
+                z = jnp.concatenate([p1, p2], axis=-1)         # [V,..,2 Cp]
         elif cfg.filter == "unrestricted":
             Wv = lev["Wf"][s]                                  # [V, Pp, Pp, C]
             Wv = Wv * g["smask"][l + 1][:, :, :, None]
             z = jnp.einsum("vpqc,vqrc->vprc", Wv, q)
         elif cfg.filter == "unrestricted4d":
-            # Tensor4DTensor3DMul.h:49-71: out[p,q,d] = SUM_kc W[p,k,c,d]
-            # q[k,q,c]; W[s] grows channels prevC -> C.
             Wv = lev["Wf"][s]                            # [V, Pp, Pp, Cp, C]
-            Wv = Wv * g["smask"][l + 1][:, :, :, None, None]
-            z = jnp.einsum("vpkcd,vkqc->vpqd", Wv, q)
+            if cfg.engine_faithful:
+                # What the Unrestricted_ver2 binary actually executes
+                # (the TENSORMUL cast — see engine_faithful).
+                z = _tensormul_cast_full_filter(q, Wv, s, V, Pp, C_prev)
+            else:
+                # Tensor4DTensor3DMul.h:49-71 spec: out[p,q,d] =
+                # SUM_kc W[p,k,c,d] q[k,q,c]; W[s] grows prevC -> C.
+                Wv = Wv * g["smask"][l + 1][:, :, :, None, None]
+                z = jnp.einsum("vpkcd,vkqc->vpqd", Wv, q)
         else:
             raise ValueError(cfg.filter)
 
@@ -386,7 +514,10 @@ def SMP_2D_classification(max_nVertices, nLevels, nChanels, nFeatures,
 def SMP_2D_ver2(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
                 momentum_param=0.9, seed=0):
     """``SMP_2D_ver2.h``: matrix lambdas, channel growth x2 per level,
-    scalar (.) reduced-adjacency term (``SMP_2D_ver2.h:548-576``)."""
+    scalar (.) reduced-adjacency term (``SMP_2D_ver2.h:548-576``).
+    The shipped binary's filter apply goes through the TENSORMUL cast
+    (see SMP2DSteerableConfig.engine_faithful) — reproduced by default,
+    binary-pinned in tests/test_model_parity3.py."""
     return SMP2DSteerable(SMP2DSteerableConfig(
         max_nVertices, nLevels, nChanels, nFeatures, nDepth,
         filter="matrix", radj_self_loops=False,
@@ -397,7 +528,8 @@ def SMP_2D_ver3(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
                 momentum_param=0.9, seed=0):
     """``SMP_2D_ver3.h``: ver2 WITHOUT the scalar (.) adjacency addition —
     the filter consumes the bare quadratic sum (``SMP_2D_ver3.h:551``; ver2
-    adds quadratic_plus_adj at ``SMP_2D_ver2.h:570-587``)."""
+    adds quadratic_plus_adj at ``SMP_2D_ver2.h:570-587``).  Same TENSORMUL
+    cast as ver2 (see SMP2DSteerableConfig.engine_faithful)."""
     return SMP2DSteerable(SMP2DSteerableConfig(
         max_nVertices, nLevels, nChanels, nFeatures, nDepth,
         filter="matrix", add_scalar_adj=False,
@@ -445,7 +577,9 @@ def Unrestricted_SMP_2D(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
 
 def Unrestricted_SMP_2D_ver2(max_nVertices, nLevels, nChanels, nFeatures,
                              nDepth, momentum_param=0.9, seed=0):
-    """``Unrestricted_SMP_2D_ver2.h``: 4-D W[s] filters, channel growth."""
+    """``Unrestricted_SMP_2D_ver2.h``: 4-D W[s] filters, channel growth.
+    The filter apply goes through the same TENSORMUL cast as SMP_2D_ver2
+    (see SMP2DSteerableConfig.engine_faithful)."""
     return SMP2DSteerable(SMP2DSteerableConfig(
         max_nVertices, nLevels, nChanels, nFeatures, nDepth,
         filter="unrestricted4d", radj_self_loops=False,

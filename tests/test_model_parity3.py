@@ -25,7 +25,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HARNESS_SRC = os.path.join(REPO, "tools", "parity_model_reference3.cpp")
 REFERENCE = "/root/reference"
 
-KINDS = {"ccn1d": "CCN1D"}
+KINDS = {"ccn1d": "CCN1D", "smp2dver2": "SMP2DVER2",
+         "smp2dver3": "SMP2DVER3", "smp2dver5": "SMP2DVER5",
+         "usmp2d": "USMP2D", "usmp2dver2": "USMP2DVER2"}
 
 
 def _bin(kind):
@@ -191,3 +193,197 @@ def test_ccn1d_matches_reference_binary(tmp_path, n1, n2, V1, V2, rf, L, C,
     pred = float(h2 @ np.asarray(params["W3"]))
     np.testing.assert_allclose(pred, take(1)[0], rtol=1e-9)
     done()
+
+
+# ----------------------------------------------------------------------
+# SMP_2D_ver2 / ver3 / ver5 (steerable leftovers)
+# ----------------------------------------------------------------------
+
+def _run_smp2dx(tmp_path, kind, cfg_kwargs, weight_layout, n, V, L, C,
+                seed, radj_fixup=None):
+    """Shared driver: build config+params, write weights in the reference
+    registration order, run the binary, compare every per-level pre-filter
+    aggregate, state, the graph feature and the prediction at 1e-9."""
+    from graphflow_tpu.models.smp2d_steerable import (
+        SMP2DSteerableConfig, init_params, steerable_states, forward)
+
+    nFeat, nDepth, hasWL = 4, 3, 1
+    cfg = SMP2DSteerableConfig(
+        max_nVertices=V, nLevels=L, nChanels=C, nFeatures=nFeat,
+        nDepth=nDepth, dtype="float64", **cfg_kwargs)
+    params = _cast64(init_params(jax.random.PRNGKey(0), cfg))
+    mol = build_molecule(n, nFeat, seed)
+
+    fn = str(tmp_path / "w.txt")
+    _write_weights(fn, weight_layout(params))
+
+    take, done = _tokens(kind, [n, V, L, C, nFeat, nDepth, hasWL, seed, fn])
+    pg = prep.prepare_graph(mol, L, V, None, nDepth, has_WL_ordering=True,
+                            dtype=np.float64)
+    if radj_fixup is not None:
+        pg = radj_fixup(pg, mol)
+    g = _g64(pg)
+    presums = []
+    states = steerable_states(params, g, cfg, collect_presum=presums)
+    sizes = np.asarray(pg.sizes)
+    for l in range(L + 1):
+        Cl = cfg.channels_at(l)
+        Cp = cfg.channels_at(l - 1) if l else None
+        arr = np.asarray(states[l])
+        qarr = np.asarray(presums[l - 1]) if l else None
+        for v in range(n):
+            s_ref = int(take(1)[0])
+            assert sizes[l, v] == s_ref, (l, v, sizes[l, v], s_ref)
+            f_ref = take(s_ref * s_ref * Cl).reshape(s_ref, s_ref, Cl)
+            np.testing.assert_allclose(
+                arr[v, :s_ref, :s_ref, :], f_ref, rtol=1e-9, atol=1e-12,
+                err_msg=f"level {l} vertex {v}")
+            if l:
+                q_ref = take(s_ref * s_ref * Cp).reshape(s_ref, s_ref, Cp)
+                np.testing.assert_allclose(
+                    qarr[v, :s_ref, :s_ref, :], q_ref, rtol=1e-9,
+                    atol=1e-12, err_msg=f"presum level {l} vertex {v}")
+    pred, gf = forward(params, g, cfg)
+    np.testing.assert_allclose(np.asarray(gf), take(cfg.channels_at(L)),
+                               rtol=1e-9, atol=1e-12,
+                               err_msg="graph_feature")
+    np.testing.assert_allclose(float(pred), take(1)[0], rtol=1e-9)
+    done()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n,V,L,C,seed", [
+    (5, 5, 2, 2, 555),
+    (6, 7, 2, 2, 666),    # padded V
+])
+def test_smp_2d_ver2_matches_reference_binary(tmp_path, n, V, L, C, seed):
+    """Pins the AS-EXECUTED ver2 semantics: matrix lambdas built into a
+    Tensor4D filter but applied through GraphFlow's TENSORMUL cast
+    (SMP_2D_ver2.h:588 / GraphFlow.h:615-620), plus the raw-diagonal
+    reduced adjacency and the scalar (.) adj term."""
+    from graphflow_tpu.models.smp2d_steerable import strip_radj_self_loops
+
+    def layout(params):
+        arrays = [params["H"]]
+        for l in range(len(params["levels"])):
+            lev = params["levels"][l]
+            for s in range(1, V + 1):
+                arrays += [lev["lambda1"][s], lev["lambda2"][s], lev["b"][s]]
+            arrays.append(lev["scalar"])
+        arrays.append(params["W"])
+        return arrays
+
+    _run_smp2dx(tmp_path, "smp2dver2",
+                dict(filter="matrix", radj_self_loops=False),
+                layout, n, V, L, C, seed,
+                radj_fixup=lambda pg, mol: strip_radj_self_loops(pg, mol))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n,V,L,C,seed", [
+    (5, 5, 2, 2, 777),
+    (6, 7, 2, 2, 888),
+])
+def test_smp_2d_ver3_matches_reference_binary(tmp_path, n, V, L, C, seed):
+    """ver3 = ver2 minus the scalar (.) adjacency term
+    (SMP_2D_ver3.h:551); same TENSORMUL cast."""
+    from graphflow_tpu.models.smp2d_steerable import strip_radj_self_loops
+
+    def layout(params):
+        arrays = [params["H"]]
+        for l in range(len(params["levels"])):
+            lev = params["levels"][l]
+            for s in range(1, V + 1):
+                arrays += [lev["lambda1"][s], lev["lambda2"][s], lev["b"][s]]
+        arrays.append(params["W"])
+        return arrays
+
+    _run_smp2dx(tmp_path, "smp2dver3",
+                dict(filter="matrix", add_scalar_adj=False,
+                     radj_self_loops=False),
+                layout, n, V, L, C, seed,
+                radj_fixup=lambda pg, mol: strip_radj_self_loops(pg, mol))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n,V,L,C,seed", [
+    (5, 5, 2, 3, 999),
+    (6, 7, 2, 2, 1111),
+])
+def test_smp_2d_ver5_matches_reference_binary(tmp_path, n, V, L, C, seed):
+    """ver5: vector lambdas, Tensor3DConcat then the K (C x 2C) reducer
+    (CustomMatMulTensor, SMP_2D_ver5.h:599-604), row-normalized diag-1
+    reduced adjacency — all clean (non-cast) ops."""
+    from graphflow_tpu.models.smp2d_steerable import row_normalize_radj
+
+    def layout(params):
+        arrays = [params["H"]]
+        for l in range(len(params["levels"])):
+            lev = params["levels"][l]
+            for s in range(1, V + 1):
+                arrays += [lev["lambda1"][s], lev["lambda2"][s], lev["b"][s]]
+            arrays += [lev["K"], lev["scalar"]]
+        arrays.append(params["W"])
+        return arrays
+
+    _run_smp2dx(tmp_path, "smp2dver5",
+                dict(filter="concat_k", radj_row_normalize=True),
+                layout, n, V, L, C, seed,
+                radj_fixup=lambda pg, mol: row_normalize_radj(pg))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n,V,L,C,seed", [
+    (5, 5, 2, 3, 2222),
+    (6, 7, 2, 2, 3333),
+])
+def test_unrestricted_smp_2d_matches_reference_binary(tmp_path, n, V, L, C,
+                                                      seed):
+    """Full learned per-size Tensor3D W[s] applied by a GENUINE TensorMul
+    (Unrestricted_SMP_2D.h:124,517) — constant width, raw-diagonal radj,
+    scalar (.) adj term.  The per-size filters are compact (s, s, C); only
+    that block of our padded Wf[s] is registered/loaded."""
+    from graphflow_tpu.models.smp2d_steerable import strip_radj_self_loops
+
+    def layout(params):
+        arrays = [params["H"]]
+        for l in range(len(params["levels"])):
+            lev = params["levels"][l]
+            for s in range(1, V + 1):
+                arrays += [lev["Wf"][s][:s, :s, :], lev["b"][s]]
+            arrays.append(lev["scalar"])
+        arrays.append(params["W"])
+        return arrays
+
+    _run_smp2dx(tmp_path, "usmp2d",
+                dict(filter="unrestricted", radj_self_loops=False),
+                layout, n, V, L, C, seed,
+                radj_fixup=lambda pg, mol: strip_radj_self_loops(pg, mol))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n,V,L,C,seed", [
+    (5, 5, 2, 2, 4444),
+    (6, 7, 2, 2, 5555),
+])
+def test_unrestricted_smp_2d_ver2_matches_reference_binary(tmp_path, n, V,
+                                                           L, C, seed):
+    """Learned per-size Tensor4D W[s] (s, s, prevC, C) consumed through the
+    TENSORMUL cast (Unrestricted_SMP_2D_ver2.h:137,537) — channel growth
+    x2, as-executed semantics."""
+    from graphflow_tpu.models.smp2d_steerable import strip_radj_self_loops
+
+    def layout(params):
+        arrays = [params["H"]]
+        for l in range(len(params["levels"])):
+            lev = params["levels"][l]
+            for s in range(1, V + 1):
+                arrays += [lev["Wf"][s][:s, :s, :, :], lev["b"][s]]
+            arrays.append(lev["scalar"])
+        arrays.append(params["W"])
+        return arrays
+
+    _run_smp2dx(tmp_path, "usmp2dver2",
+                dict(filter="unrestricted4d", radj_self_loops=False),
+                layout, n, V, L, C, seed,
+                radj_fixup=lambda pg, mol: strip_radj_self_loops(pg, mol))

@@ -23,6 +23,26 @@
 #include "GraphFlow/DenseGraph.h"
 #if defined(PARITY_KIND_CCN1D)
 #include "GraphFlow/CCN_1D.h"
+#elif defined(PARITY_KIND_SMP2DVER2)
+#include "GraphFlow/SMP_2D_ver2.h"
+#define SMP2DX_MODEL SMP_2D_ver2
+#define SMP2DX_HAS_K 0
+#elif defined(PARITY_KIND_SMP2DVER3)
+#include "GraphFlow/SMP_2D_ver3.h"
+#define SMP2DX_MODEL SMP_2D_ver3
+#define SMP2DX_HAS_K 0
+#elif defined(PARITY_KIND_SMP2DVER5)
+#include "GraphFlow/SMP_2D_ver5.h"
+#define SMP2DX_MODEL SMP_2D_ver5
+#define SMP2DX_HAS_K 1
+#elif defined(PARITY_KIND_USMP2D)
+#include "GraphFlow/Unrestricted_SMP_2D.h"
+#define SMP2DX_MODEL Unrestricted_SMP_2D
+#define SMP2DX_HAS_K 0
+#elif defined(PARITY_KIND_USMP2DVER2)
+#include "GraphFlow/Unrestricted_SMP_2D_ver2.h"
+#define SMP2DX_MODEL Unrestricted_SMP_2D_ver2
+#define SMP2DX_HAS_K 0
 #else
 #error "define one PARITY_KIND_*"
 #endif
@@ -120,6 +140,49 @@ int main(int argc, char **argv) {
         dump(model->graph_feature);
         dump(model->hidden_relu_1);
         dump(model->hidden_relu_2);
+        printf("%.17g\n", model->predict->value[0]);
+    }
+#elif defined(SMP2DX_MODEL)
+    // smp2dver2|smp2dver3|smp2dver5 n V L C nFeat nDepth hasWL seed w.txt
+    // Output: per level l=0..L, per vertex: size, f values; for l>=1 ALSO
+    // the pre-filter aggregate (quadratic_plus_adj for ver2/ver5, sum for
+    // ver3) so a filter-only divergence can be isolated; then
+    // graph_feature, predict.
+    if (!strncmp(kind, "smp2dver", 8) || !strncmp(kind, "usmp2d", 6)) {
+        int n = atoi(argv[2]), V = atoi(argv[3]), L = atoi(argv[4]);
+        int C = atoi(argv[5]), nFeat = atoi(argv[6]), nDepth = atoi(argv[7]);
+        int hasWL = atoi(argv[8]);
+        unsigned long long seed = (unsigned long long)atoll(argv[9]);
+        const char *weights = argv[10];
+        DenseGraph *mol = make_molecule(n, nFeat, seed);
+        printf("# kind %s n %d V %d L %d C %d\n", kind, n, V, L, C);
+        SMP2DX_MODEL *model = new SMP2DX_MODEL(V, L, C, nFeat, nDepth, 0.9,
+                                               hasWL != 0);
+        model->load_model(weights);
+        model->complete_computation_graph(mol);
+        model->graph->forward();
+        for (int l = 0; l <= L; ++l) {
+            for (int v = 0; v < n; ++v) {
+                int size = (l == 0) ? 1
+                    : (int)model->level[l]->phi[v].size();
+                printf("%d ", size);
+                Tensor3D *f = model->level[l]->f[v];
+                for (int i = 0; i < f->size; ++i)
+                    printf("%.17g ", f->value[i]);
+                printf("\n");
+                if (l > 0) {
+#if defined(PARITY_KIND_SMP2DVER3)
+                    Tensor3D *q = model->level[l]->sum[v];
+#else
+                    Tensor3D *q = model->level[l]->quadratic_plus_adj[v];
+#endif
+                    for (int i = 0; i < q->size; ++i)
+                        printf("%.17g ", q->value[i]);
+                    printf("\n");
+                }
+            }
+        }
+        dump(model->graph_feature);
         printf("%.17g\n", model->predict->value[0]);
     }
 #endif
