@@ -69,6 +69,13 @@ class SMP1DConfig:
     # CCN_1D L1-normalizes each vertex's raw feature vector before H
     # (``CCN_1D.h:440-448``); no other first-order model does.
     l1_normalize_features: bool = False
+    # The channel-GROWING variants pass alpha = 0 to every tower
+    # LeakyReLU2D — i.e. plain ReLU (``SMP_1D_ver2.h:491,534``,
+    # ``SMP_1D_ver3.h:506,555``, ``Unrestricted_SMP_1D_ver2.h:458,498``);
+    # the head's vertex LeakyReLU keeps the 0.01 default in ALL models
+    # (``SMP_1D_ver2.h:546``).  Caught by the round-5 binary-parity
+    # harness — divergence invisible to convergence tests.
+    tower_alpha: float = 0.01
     nClasses: Optional[int] = None
     optimizer: str = "adam"
     dtype: str = "float32"
@@ -171,7 +178,8 @@ def smp1d_states(params, g, cfg: SMP1DConfig):
         # all-zero pad rows; real vertices always have nonzero features).
         norm = jnp.abs(feat).sum(axis=-1, keepdims=True)
         feat = feat / jnp.where(norm > 0, norm, 1.0)
-    F0 = activations.leaky_relu(feat @ params["H"].T)             # [V, C]
+    F0 = activations.leaky_relu(feat @ params["H"].T,
+                                cfg.tower_alpha)              # [V, C]
     state = jnp.zeros((V, P, cfg.channels_at(0)), F0.dtype).at[:, 0, :].set(
         F0 * g["vmask"][:, None])
     states = [state]
@@ -234,7 +242,7 @@ def smp1d_states(params, g, cfg: SMP1DConfig):
             raise ValueError(cfg.filter)
 
         z = z + b[:, None, :]
-        state = activations.leaky_relu(z) * rm[:, :, None]
+        state = activations.leaky_relu(z, cfg.tower_alpha) * rm[:, :, None]
         states.append(state)
         vid_prev = vid_cur
     return states
@@ -359,22 +367,25 @@ def SMP_1D_ver2(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
                 momentum_param=0.9, seed=0) -> SMP1D:
     """``SMP_1D_ver2.h:131-166``: channel-growing concat of the two scalar
     steerable branches (C_l = 2 C_{l-1}, no reducer), uncapped phi,
-    Momentum."""
+    Momentum; tower activations are PLAIN ReLU (alpha=0,
+    ``SMP_1D_ver2.h:491,534``)."""
     return SMP1D(SMP1DConfig(
         max_nVertices=max_nVertices, max_receptive_field=None,
         nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
-        nDepth=nDepth, filter="concat", optimizer="momentum"), seed)
+        nDepth=nDepth, filter="concat", tower_alpha=0.0,
+        optimizer="momentum"), seed)
 
 
 def SMP_1D_ver3(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
                 momentum_param=0.9, seed=0) -> SMP1D:
     """``SMP_1D_ver3.h:142-175,542-549``: ver2 plus per-level K_eye/K_one
     (prevC x prevC) channel mixers applied to each branch before the
-    concat."""
+    concat; ReLU towers like ver2 (``SMP_1D_ver3.h:506,555``)."""
     return SMP1D(SMP1DConfig(
         max_nVertices=max_nVertices, max_receptive_field=None,
         nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
-        nDepth=nDepth, filter="concat_kk", optimizer="momentum"), seed)
+        nDepth=nDepth, filter="concat_kk", tower_alpha=0.0,
+        optimizer="momentum"), seed)
 
 
 def SMP_1D_ver3_classification(max_nVertices, nLevels, nChanels, nFeatures,
@@ -383,15 +394,17 @@ def SMP_1D_ver3_classification(max_nVertices, nLevels, nChanels, nFeatures,
     return SMP1D(SMP1DConfig(
         max_nVertices=max_nVertices, max_receptive_field=None,
         nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
-        nDepth=nDepth, filter="concat_kk", nClasses=nClasses,
-        optimizer="momentum"), seed)
+        nDepth=nDepth, filter="concat_kk", tower_alpha=0.0,
+        nClasses=nClasses, optimizer="momentum"), seed)
 
 
 def Unrestricted_SMP_1D_ver2(max_nVertices, nLevels, nChanels, nFeatures,
                              nDepth, seed=0) -> SMP1D:
     """``Unrestricted_SMP_1D_ver2.h:102-137``: TWO full W[size] spatial
-    filters per size, outputs concatenated (channel growth x2/level)."""
+    filters per size, outputs concatenated (channel growth x2/level);
+    ReLU towers (``Unrestricted_SMP_1D_ver2.h:458,498``)."""
     return SMP1D(SMP1DConfig(
         max_nVertices=max_nVertices, max_receptive_field=None,
         nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
-        nDepth=nDepth, filter="unrestricted2", optimizer="momentum"), seed)
+        nDepth=nDepth, filter="unrestricted2", tower_alpha=0.0,
+        optimizer="momentum"), seed)

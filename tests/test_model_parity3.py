@@ -27,7 +27,10 @@ REFERENCE = "/root/reference"
 
 KINDS = {"ccn1d": "CCN1D", "smp2dver2": "SMP2DVER2",
          "smp2dver3": "SMP2DVER3", "smp2dver5": "SMP2DVER5",
-         "usmp2d": "USMP2D", "usmp2dver2": "USMP2DVER2"}
+         "usmp2d": "USMP2D", "usmp2dver2": "USMP2DVER2",
+         "smp1d": "SMP1D", "smp1dver2": "SMP1DVER2",
+         "smp1dver3": "SMP1DVER3", "usmp1d": "USMP1D",
+         "usmp1dver2": "USMP1DVER2"}
 
 
 def _bin(kind):
@@ -387,3 +390,111 @@ def test_unrestricted_smp_2d_ver2_matches_reference_binary(tmp_path, n, V,
                 dict(filter="unrestricted4d", radj_self_loops=False),
                 layout, n, V, L, C, seed,
                 radj_fixup=lambda pg, mol: strip_radj_self_loops(pg, mol))
+
+
+# ----------------------------------------------------------------------
+# SMP_1D base family (steerable / ver2 / ver3 / Unrestricted(+ver2))
+# ----------------------------------------------------------------------
+
+def _run_smp1dx(tmp_path, kind, filter_name, weight_layout, n, V, L, C,
+                seed):
+    """Shared first-order driver: uncapped receptive fields, WL ordering
+    and WL depth-bucketed features, Momentum — the SMP_1D-family surface
+    (``SMP_1D.h:32-52``)."""
+    from graphflow_tpu.models.smp1d import (SMP1DConfig, init_smp1d_params,
+                                            smp1d_states, smp1d_forward)
+
+    nFeat, nDepth, hasWL = 4, 3, 1
+    # The channel-growing variants run plain-ReLU towers (alpha=0 to
+    # LeakyReLU2D, SMP_1D_ver2.h:491,534) — a round-5 harness catch.
+    alpha = 0.0 if filter_name in ("concat", "concat_kk",
+                                   "unrestricted2") else 0.01
+    cfg = SMP1DConfig(
+        max_nVertices=V, max_receptive_field=None, nLevels=L, nChanels=C,
+        nFeatures=nFeat, nDepth=nDepth, filter=filter_name,
+        tower_alpha=alpha, has_WL_ordering=bool(hasWL), dtype="float64")
+    params = _cast64(init_smp1d_params(jax.random.PRNGKey(0), cfg))
+    mol = build_molecule(n, nFeat, seed)
+
+    fn = str(tmp_path / "w.txt")
+    _write_weights(fn, weight_layout(params))
+
+    take, done = _tokens(kind, [n, V, L, C, nFeat, nDepth, hasWL, seed, fn])
+    pg = prep.prepare_graph(mol, L, V, None, nDepth,
+                            has_WL_ordering=bool(hasWL), dtype=np.float64)
+    g = _g64(pg)
+    states = smp1d_states(params, g, cfg)
+    sizes = np.asarray(pg.sizes)
+    for l in range(L + 1):
+        Cl = cfg.channels_at(l)
+        arr = np.asarray(states[l])
+        for v in range(n):
+            s_ref = int(take(1)[0])
+            if l:
+                assert sizes[l, v] == s_ref, (l, v, sizes[l, v], s_ref)
+            f_ref = take(s_ref * Cl).reshape(s_ref, Cl)
+            np.testing.assert_allclose(
+                arr[v, :s_ref, :], f_ref, rtol=1e-9, atol=1e-12,
+                err_msg=f"level {l} vertex {v}")
+    pred, gf = smp1d_forward(params, g, cfg)
+    np.testing.assert_allclose(np.asarray(gf), take(cfg.channels_at(L)),
+                               rtol=1e-9, atol=1e-12,
+                               err_msg="graph_feature")
+    np.testing.assert_allclose(float(pred), take(1)[0], rtol=1e-9)
+    done()
+
+
+def _layout_lambda(V, extra=()):
+    def layout(params):
+        arrays = [params["H"]]
+        for lev in params["levels"]:
+            for s in range(1, V + 1):
+                arrays += [lev["lambda1"][s:s + 1], lev["lambda2"][s:s + 1],
+                           lev["b"][s]]
+            arrays += [lev[k] for k in extra]
+        arrays.append(params["W"])
+        return arrays
+    return layout
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind,filt,extra,n,V,L,C,seed", [
+    ("smp1d", "steerable", (), 5, 5, 2, 4, 6001),
+    ("smp1d", "steerable", (), 6, 7, 2, 3, 6002),      # padded V
+    ("smp1dver2", "concat", (), 5, 5, 2, 3, 6003),
+    ("smp1dver2", "concat", (), 6, 7, 2, 2, 6004),
+    ("smp1dver3", "concat_kk", ("K_eye", "K_one"), 5, 5, 2, 3, 6005),
+    ("smp1dver3", "concat_kk", ("K_eye", "K_one"), 6, 7, 2, 2, 6006),
+])
+def test_smp1d_family_matches_reference_binary(tmp_path, kind, filt, extra,
+                                               n, V, L, C, seed):
+    """SMP_1D (steerable W = l1 I + l2 1, ``SMP_1D.h:480-512``), ver2
+    (channel-growing concat, ``SMP_1D_ver2.h:521-529``) and ver3 (K_eye /
+    K_one branch mixers, ``SMP_1D_ver3.h:542-550``)."""
+    _run_smp1dx(tmp_path, kind, filt, _layout_lambda(V, extra),
+                n, V, L, C, seed)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind,filt,wkeys,n,V,L,C,seed", [
+    ("usmp1d", "unrestricted", ("Wf",), 5, 5, 2, 4, 6007),
+    ("usmp1d", "unrestricted", ("Wf",), 6, 7, 2, 3, 6008),
+    ("usmp1dver2", "unrestricted2", ("Wf1", "Wf2"), 5, 5, 2, 3, 6009),
+    ("usmp1dver2", "unrestricted2", ("Wf1", "Wf2"), 6, 7, 2, 2, 6010),
+])
+def test_unrestricted_smp1d_matches_reference_binary(tmp_path, kind, filt,
+                                                     wkeys, n, V, L, C,
+                                                     seed):
+    """Unrestricted_SMP_1D (full per-size W[s], ``Unrestricted_SMP_1D.h:
+    98-103``) and ver2 (two filters concatenated, ``Unrestricted_SMP_1D_
+    ver2.h:102-137``).  Per-size filters are compact (s, s)."""
+    def layout(params):
+        arrays = [params["H"]]
+        for lev in params["levels"]:
+            for s in range(1, V + 1):
+                arrays += [lev[k][s][:s, :s] for k in wkeys]
+                arrays.append(lev["b"][s])
+        arrays.append(params["W"])
+        return arrays
+
+    _run_smp1dx(tmp_path, kind, filt, layout, n, V, L, C, seed)

@@ -43,6 +43,21 @@
 #include "GraphFlow/Unrestricted_SMP_2D_ver2.h"
 #define SMP2DX_MODEL Unrestricted_SMP_2D_ver2
 #define SMP2DX_HAS_K 0
+#elif defined(PARITY_KIND_SMP1D)
+#include "GraphFlow/SMP_1D.h"
+#define SMP1DX_MODEL SMP_1D
+#elif defined(PARITY_KIND_SMP1DVER2)
+#include "GraphFlow/SMP_1D_ver2.h"
+#define SMP1DX_MODEL SMP_1D_ver2
+#elif defined(PARITY_KIND_SMP1DVER3)
+#include "GraphFlow/SMP_1D_ver3.h"
+#define SMP1DX_MODEL SMP_1D_ver3
+#elif defined(PARITY_KIND_USMP1D)
+#include "GraphFlow/Unrestricted_SMP_1D.h"
+#define SMP1DX_MODEL Unrestricted_SMP_1D
+#elif defined(PARITY_KIND_USMP1DVER2)
+#include "GraphFlow/Unrestricted_SMP_1D_ver2.h"
+#define SMP1DX_MODEL Unrestricted_SMP_1D_ver2
 #else
 #error "define one PARITY_KIND_*"
 #endif
@@ -180,6 +195,38 @@ int main(int argc, char **argv) {
                         printf("%.17g ", q->value[i]);
                     printf("\n");
                 }
+            }
+        }
+        dump(model->graph_feature);
+        printf("%.17g\n", model->predict->value[0]);
+    }
+#elif defined(SMP1DX_MODEL)
+    // smp1d|smp1dver2|smp1dver3|usmp1d|usmp1dver2
+    //   n V L C nFeat nDepth hasWL seed w.txt
+    // Output: per level l=0..L, per vertex: size, then the size x C_l
+    // matrix f; then graph_feature, predict.
+    if (!strncmp(kind, "smp1d", 5) || !strncmp(kind, "usmp1d", 6)) {
+        int n = atoi(argv[2]), V = atoi(argv[3]), L = atoi(argv[4]);
+        int C = atoi(argv[5]), nFeat = atoi(argv[6]), nDepth = atoi(argv[7]);
+        int hasWL = atoi(argv[8]);
+        unsigned long long seed = (unsigned long long)atoll(argv[9]);
+        const char *weights = argv[10];
+        DenseGraph *mol = make_molecule(n, nFeat, seed);
+        printf("# kind %s n %d V %d L %d C %d\n", kind, n, V, L, C);
+        SMP1DX_MODEL *model = new SMP1DX_MODEL(V, L, C, nFeat, nDepth, 0.9,
+                                               hasWL != 0);
+        model->load_model(weights);
+        model->complete_computation_graph(mol);
+        model->graph->forward();
+        for (int l = 0; l <= L; ++l) {
+            for (int v = 0; v < n; ++v) {
+                int size = (l == 0) ? 1
+                    : (int)model->level[l]->phi[v].size();
+                printf("%d ", size);
+                Matrix *f = model->level[l]->f[v];
+                for (int i = 0; i < f->size; ++i)
+                    printf("%.17g ", f->value[i]);
+                printf("\n");
             }
         }
         dump(model->graph_feature);
