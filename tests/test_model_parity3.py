@@ -16,6 +16,7 @@ import subprocess
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 from graphflow_tpu.core import prep, batching
 
@@ -30,7 +31,7 @@ KINDS = {"ccn1d": "CCN1D", "smp2dver2": "SMP2DVER2",
          "usmp2d": "USMP2D", "usmp2dver2": "USMP2DVER2",
          "smp1d": "SMP1D", "smp1dver2": "SMP1DVER2",
          "smp1dver3": "SMP1DVER3", "usmp1d": "USMP1D",
-         "usmp1dver2": "USMP1DVER2"}
+         "usmp1dver2": "USMP1DVER2", "lcnn": "LCNN", "gca1d": "GCA1D"}
 
 
 def _bin(kind):
@@ -498,3 +499,123 @@ def test_unrestricted_smp1d_matches_reference_binary(tmp_path, kind, filt,
         return arrays
 
     _run_smp1dx(tmp_path, kind, filt, layout, n, V, L, C, seed)
+
+
+# ----------------------------------------------------------------------
+# LCNN (PATCHY-SAN style graph CNN)
+# ----------------------------------------------------------------------
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n,V,K,C1,C2,nDense,seed", [
+    (6, 6, 3, 5, 4, 6, 7001),
+    (6, 8, 4, 3, 3, 5, 7002),    # padded V (dummy vertices enter the rank)
+])
+def test_lcnn_matches_reference_binary(tmp_path, n, V, K, C1, C2, nDense,
+                                       seed):
+    """Pins the LCNN sequence construction (padded-graph WL rank +
+    distance-ordered neighbor scan, LCNN.h:283-320), the by-VERTEX-id
+    second gather (rows ordered by rank position, LCNN.h:69-70), and the
+    dense layer consuming the raw secondConv (LCNN.h:81)."""
+    from graphflow_tpu.models.lcnn import LCNN
+    from graphflow_tpu.ops import activations, conv
+
+    nFeat, nDepth = 4, 3
+    model = LCNN(V, nFeat, K, nDepth, C1, C2, nDense, seed=0)
+    params = _cast64(model.params)
+    mol = build_molecule(n, nFeat, seed)
+
+    fn = str(tmp_path / "w.txt")
+    _write_weights(fn, [params[k] for k in model.param_order])
+
+    take, done = _tokens("lcnn", [n, V, K, nDepth, C1, C2, nDense, nFeat,
+                                  seed, fn])
+    batch = model._stack([mol])
+    g = jax.tree_util.tree_map(
+        lambda x: x[0].astype(np.float64)
+        if np.issubdtype(np.asarray(x).dtype, np.floating) else x[0], batch)
+
+    seq_ref = take(V * K).astype(np.int64)
+    np.testing.assert_array_equal(np.asarray(g["seq"]), seq_ref,
+                                  err_msg="sequence")
+
+    wl = jnp.pad(g["wl_feat"], ((0, 1), (0, 0)))
+    x1 = wl[g["seq"]]
+    c1 = conv.conv1d(x1, params["firstFilter"], params["firstBias"],
+                     stride=K)
+    np.testing.assert_allclose(np.asarray(c1).reshape(-1), take(V * C1),
+                               rtol=1e-9, atol=1e-12, err_msg="firstConv")
+    r1 = activations.leaky_relu(c1)
+    np.testing.assert_allclose(np.asarray(r1).reshape(-1), take(V * C1),
+                               rtol=1e-9, atol=1e-12, err_msg="firstReLU")
+    r1p = jnp.pad(r1, ((0, 1), (0, 0)))
+    c2 = conv.conv1d(r1p[g["seq"]], params["secondFilter"],
+                     params["secondBias"], stride=K)
+    np.testing.assert_allclose(np.asarray(c2).reshape(-1), take(V * C2),
+                               rtol=1e-9, atol=1e-12, err_msg="secondConv")
+    dense = params["denseWeight"] @ np.asarray(c2).reshape(-1)
+    np.testing.assert_allclose(np.asarray(dense), take(nDense), rtol=1e-9,
+                               atol=1e-12, err_msg="denseLayer")
+    pred = float(np.asarray(dense) @ np.asarray(params["W"]))
+    np.testing.assert_allclose(pred, take(1)[0], rtol=1e-9)
+    done()
+
+
+# ----------------------------------------------------------------------
+# GCA_1D (graph autoencoder: Gram(hiddens) ~ adjacency)
+# ----------------------------------------------------------------------
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n,V,L,H,R,seed", [
+    (6, 6, 2, 5, 1, 8001),
+    (7, 9, 3, 4, 2, 8002),    # padded V, radius capped at R=2
+])
+def test_gca1d_matches_reference_binary(tmp_path, n, V, L, H, R, seed):
+    """Pins GCA_1D's growing closed-ball neighborhood (sp <= min(l, R),
+    GCA_1D.h:218), the softmax hiddens with per-level W1 (feature) + W2
+    (RisiLayer1D sum) mix, and the LinearGram reconstruction head
+    (GCA_1D.h:242-255)."""
+    from graphflow_tpu.models.gca import GCA_1D
+
+    nFeat, nDepth = 4, 3
+    model = GCA_1D(L, V, nFeat, H, nDepth, R, seed=0)
+    params = _cast64(model.params)
+    mol = build_molecule(n, nFeat, seed)
+
+    fn = str(tmp_path / "w.txt")
+    _write_weights(fn, [params["levels"][l][k]
+                        for l in range(L + 1)
+                        for k in (("W1",) if l == 0 else ("W1", "W2"))])
+
+    take, done = _tokens("gca1d", [n, V, L, H, nFeat, nDepth, R, seed, fn])
+    batch = model._stack([mol], [0.0])
+    g = jax.tree_util.tree_map(
+        lambda x: x[0].astype(np.float64)
+        if np.issubdtype(np.asarray(x).dtype, np.floating) else x[0], batch)
+
+    # Re-run the encoder per level to expose intermediate hiddens.
+    from graphflow_tpu.ops import activations
+    vmask, sp, feat = g["vmask"], g["sp"], g["wl_feat"]
+    hidden = activations.softmax(
+        feat @ params["levels"][0]["W1"].T) * vmask[:, None]
+    hiddens = [hidden]
+    for l in range(1, L + 1):
+        radius = min(l, R)
+        M = ((sp <= radius).astype(vmask.dtype)
+             * vmask[:, None] * vmask[None, :])
+        part1 = feat @ params["levels"][l]["W1"].T
+        part2 = (M @ hidden) @ params["levels"][l]["W2"].T
+        hidden = activations.softmax(part1 + part2) * vmask[:, None]
+        hiddens.append(hidden)
+    for l in range(L + 1):
+        arr = np.asarray(hiddens[l])
+        for v in range(n):
+            np.testing.assert_allclose(arr[v], take(H), rtol=1e-9,
+                                       atol=1e-12,
+                                       err_msg=f"level {l} vertex {v}")
+    gram = np.asarray(hidden @ hidden.T)[:n, :n]
+    np.testing.assert_allclose(gram.reshape(-1), take(n * n), rtol=1e-9,
+                               atol=1e-12, err_msg="LinearGram")
+    adj = np.asarray(g["adj"])[:n, :n]
+    loss = 0.5 * float(((gram - adj) ** 2).sum())
+    np.testing.assert_allclose(loss, take(1)[0], rtol=1e-9)
+    done()

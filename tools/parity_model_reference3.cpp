@@ -58,6 +58,10 @@
 #elif defined(PARITY_KIND_USMP1DVER2)
 #include "GraphFlow/Unrestricted_SMP_1D_ver2.h"
 #define SMP1DX_MODEL Unrestricted_SMP_1D_ver2
+#elif defined(PARITY_KIND_LCNN)
+#include "GraphFlow/LCNN.h"
+#elif defined(PARITY_KIND_GCA1D)
+#include "GraphFlow/GCA_1D.h"
 #else
 #error "define one PARITY_KIND_*"
 #endif
@@ -231,6 +235,52 @@ int main(int argc, char **argv) {
         }
         dump(model->graph_feature);
         printf("%.17g\n", model->predict->value[0]);
+    }
+#elif defined(PARITY_KIND_LCNN)
+    // lcnn n V K nDepth C1 C2 nDense nFeat seed w.txt
+    // Output: sequence (V*K vertex ids); firstConv; firstReLU; secondConv;
+    // denseLayer; predict.  (secondReLU is computed but DEAD in the
+    // reference — the dense layer consumes the raw conv, LCNN.h:81.)
+    if (!strcmp(kind, "lcnn")) {
+        int n = atoi(argv[2]), V = atoi(argv[3]), K = atoi(argv[4]);
+        int nDepth = atoi(argv[5]), C1 = atoi(argv[6]), C2 = atoi(argv[7]);
+        int nDense = atoi(argv[8]), nFeat = atoi(argv[9]);
+        unsigned long long seed = (unsigned long long)atoll(argv[10]);
+        const char *weights = argv[11];
+        DenseGraph *mol = make_molecule(n, nFeat, seed);
+        printf("# kind lcnn n %d V %d K %d\n", n, V, K);
+        LCNN *model = new LCNN(V, nFeat, K, nDepth, C1, C2, nDense, 0.9);
+        model->load_model(weights);
+        model->complete_computation_graph(mol);
+        model->graph->forward();
+        dump(model->sequence);
+        dump(model->firstConv);
+        dump(model->firstReLU);
+        dump(model->secondConv);
+        dump(model->denseLayer);
+        printf("%.17g\n", model->predict->value[0]);
+    }
+#elif defined(PARITY_KIND_GCA1D)
+    // gca1d n V L H nFeat nDepth R seed w.txt
+    // Output: per level l=0..L, per vertex: hidden (H softmax values);
+    // then the LinearGram prediction (n*n) and the reconstruction loss.
+    if (!strcmp(kind, "gca1d")) {
+        int n = atoi(argv[2]), V = atoi(argv[3]), L = atoi(argv[4]);
+        int H = atoi(argv[5]), nFeat = atoi(argv[6]), nDepth = atoi(argv[7]);
+        int R = atoi(argv[8]);
+        unsigned long long seed = (unsigned long long)atoll(argv[9]);
+        const char *weights = argv[10];
+        DenseGraph *mol = make_molecule(n, nFeat, seed);
+        printf("# kind gca1d n %d V %d L %d H %d\n", n, V, L, H);
+        GCA_1D *model = new GCA_1D(L, V, nFeat, H, nDepth, R, 0.9);
+        model->load_model(weights);
+        model->complete_computation_graph(mol);
+        model->graph->forward();
+        for (int l = 0; l <= L; ++l)
+            for (int v = 0; v < n; ++v)
+                dump(model->level[l]->hidden[v]);
+        dump(model->predict);
+        printf("%.17g\n", model->sql->getLoss());
     }
 #endif
     else {
