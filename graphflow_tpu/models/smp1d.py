@@ -355,12 +355,13 @@ def Unrestricted_SMP_1D(max_nVertices, nLevels, nChanels, nFeatures, nDepth,
 
 
 def SMP_theta_physics(max_nVertices, max_receptive_field, nLevels, nChanels,
-                      nFeatures, seed=0) -> SMP1D:
-    """``SMP_theta_physics.h``: raw features only (no WL histograms)."""
-    return SMP1D(SMP1DConfig(
-        max_nVertices=max_nVertices, max_receptive_field=max_receptive_field,
-        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures, nDepth=0,
-        use_wl_features=False, filter="theta", optimizer="adam"), seed)
+                      nFeatures, seed=0):
+    """``SMP_theta_physics.h``: raw features only (no WL histograms), no WL
+    ranking, and the physics per-level-features MLP head
+    (``SMP_theta_physics.h:225-248``) — see models/physics.py."""
+    from graphflow_tpu.models.physics import SMPPhysics
+    return SMPPhysics(1, max_nVertices, max_receptive_field, nLevels,
+                      nChanels, nFeatures, seed=seed)
 
 
 def SMP_1D_ver2(max_nVertices, nLevels, nChanels, nFeatures, nDepth,

@@ -410,14 +410,12 @@ def SMP_gamma(max_nVertices, max_receptive_field, nLevels, nChanels,
         nDepth=nDepth, contraction=4, optimizer="adam"), seed)
 
 
-def SMP_omega_physics(max_nVertices, max_receptive_field, nLevels, nChanels,
-                      nFeatures, seed=0) -> SMP2D:
-    """``SMP_omega_physics.h``: raw features (no WL), Coulomb adjacency."""
-    return SMP2D(SMP2DConfig(
-        max_nVertices=max_nVertices, max_receptive_field=max_receptive_field,
-        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures, nDepth=0,
-        use_wl_features=False, use_coulomb=True, contraction=18,
-        optimizer="adam"), seed)
+# The *_physics variants (raw features, optional Coulomb adjacency, and a
+# DIFFERENT per-level-features MLP head, ``SMP_omega_physics.h:211-239``)
+# live in graphflow_tpu.models.physics; re-exported here for the reference
+# API surface.
+from graphflow_tpu.models.physics import (          # noqa: E402,F401
+    SMP_omega_physics, SMP_beta_physics, SMP_gamma_physics)
 
 
 def SMP_2D_ver6(max_nVertices, max_receptive_field, nLevels, nChanels,
@@ -446,26 +444,6 @@ def SMP_2D_ver8(max_nVertices, max_receptive_field, nLevels, nChanels,
         max_nVertices=max_nVertices, max_receptive_field=max_receptive_field,
         nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
         nDepth=nDepth, contraction=18, optimizer="momentum"), seed)
-
-
-def SMP_beta_physics(max_nVertices, nLevels, nChanels, nFeatures, seed=0):
-    """``SMP_beta_physics.h``: raw features + Coulomb adjacency, no cap."""
-    return SMP2D(SMP2DConfig(
-        max_nVertices=max_nVertices, max_receptive_field=None,
-        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures, nDepth=0,
-        use_wl_features=False, use_coulomb=True, contraction=18,
-        optimizer="adam"), seed)
-
-
-def SMP_gamma_physics(max_nVertices, max_receptive_field, nLevels, nChanels,
-                      nFeatures, seed=0):
-    """``SMP_gamma_physics.h``: RisiContraction_4, raw features + Coulomb."""
-    return SMP2D(SMP2DConfig(
-        max_nVertices=max_nVertices, max_receptive_field=max_receptive_field,
-        nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures, nDepth=0,
-        use_wl_features=False, use_coulomb=True, contraction=4,
-        optimizer="adam"), seed)
-
 
 def SMP_2D_ver6_classification(max_nVertices, max_receptive_field, nLevels,
                                nChanels, nFeatures, nDepth, nClasses, seed=0):

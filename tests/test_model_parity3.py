@@ -31,7 +31,8 @@ KINDS = {"ccn1d": "CCN1D", "smp2dver2": "SMP2DVER2",
          "usmp2d": "USMP2D", "usmp2dver2": "USMP2DVER2",
          "smp1d": "SMP1D", "smp1dver2": "SMP1DVER2",
          "smp1dver3": "SMP1DVER3", "usmp1d": "USMP1D",
-         "usmp1dver2": "USMP1DVER2", "lcnn": "LCNN", "gca1d": "GCA1D"}
+         "usmp1dver2": "USMP1DVER2", "lcnn": "LCNN", "gca1d": "GCA1D", "omegaphys": "OMEGAPHYS",
+         "thetaphys": "THETAPHYS"}
 
 
 def _bin(kind):
@@ -618,4 +619,151 @@ def test_gca1d_matches_reference_binary(tmp_path, n, V, L, H, R, seed):
     adj = np.asarray(g["adj"])[:n, :n]
     loss = 0.5 * float(((gram - adj) ** 2).sum())
     np.testing.assert_allclose(loss, take(1)[0], rtol=1e-9)
+    done()
+
+
+# ----------------------------------------------------------------------
+# The *_physics family (raw features, Coulomb adjacency, per-level MLP head)
+# ----------------------------------------------------------------------
+
+def fill_coulomb(mol, seed):
+    """Replicates the harness's deterministic symmetric Coulomb stream."""
+    lcg = _LCG(seed)
+    n = mol.nVertices
+    for u in range(n):
+        for v in range(u, n):
+            c = lcg.next() * 4.0
+            mol.coulomb[u, v] = mol.coulomb[v, u] = c
+    return mol
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n,V,rf,L,C,useC,seed", [
+    (5, 5, 4, 2, 4, 1, 9001),    # Coulomb reduced adjacency
+    (6, 7, 3, 2, 4, 1, 9002),    # padded + capped, Coulomb
+    (5, 5, 4, 2, 4, 0, 9003),    # diag-1 0/1 adjacency mode
+])
+def test_smp_omega_physics_matches_reference_binary(tmp_path, n, V, rf, L,
+                                                    C, useC, seed):
+    """Pins the physics input mode end-to-end: raw features (no WL), no WL
+    ranking, the COULOMB reduced adjacency copied verbatim incl. diagonal
+    (SMP_omega_physics.h:436-461), and the per-level-features MLP head
+    (:211-239,585-592)."""
+    from graphflow_tpu.models.physics import SMP_omega_physics
+    from graphflow_tpu.models.smp2d import smp2d_states, smp2d_level_features
+    from graphflow_tpu.ops import activations
+    import dataclasses
+
+    nFeat = 4
+    model = SMP_omega_physics(V, rf, L, C, nFeat, use_coulomb=bool(useC),
+                              seed=0)
+    params = _cast64(model.params)
+    mol = build_molecule(n, nFeat, seed)
+    fill_coulomb(mol, seed + 777)
+
+    fn = str(tmp_path / "w.txt")
+    arrays = [params["tower"]["H"]]
+    for l in range(L):
+        arrays += [params["tower"]["levels"][l]["K"],
+                   params["tower"]["levels"][l]["b"]]
+    arrays += [params["W1"], params["W2"]]
+    _write_weights(fn, arrays)
+
+    take, done = _tokens("omegaphys", [n, V, rf, L, C, nFeat, useC, seed,
+                                       fn])
+    cfg = dataclasses.replace(model.cfg, dtype="float64")
+    sched = cfg.channel_schedule   # physics towers HALVE channels/level
+    pg = prep.prepare_graph(mol, L, V, rf, 0, has_WL_ordering=False,
+                            use_wl_features=False, use_coulomb=bool(useC),
+                            dtype=np.float64)
+    g = _g64(pg)
+    states = smp2d_states(params["tower"], g, cfg)
+    sizes = np.asarray(pg.sizes)
+    for l in range(L + 1):
+        Cl = sched[l]
+        arr = np.asarray(states[l])
+        for v in range(n):
+            s_ref = int(take(1)[0])
+            if l:
+                assert sizes[l, v] == s_ref
+            f_ref = take(s_ref * s_ref * Cl).reshape(s_ref, s_ref, Cl)
+            np.testing.assert_allclose(
+                arr[v, :s_ref, :s_ref, :], f_ref, rtol=1e-9, atol=1e-12,
+                err_msg=f"level {l} vertex {v}")
+    feats = [np.asarray(x)
+             for x in smp2d_level_features(params["tower"], g, cfg)]
+    for l in range(L + 1):
+        np.testing.assert_allclose(feats[l], take(sched[l]), rtol=1e-9,
+                                   atol=1e-12,
+                                   err_msg=f"level_feature[{l}]")
+    gf = np.concatenate(feats)
+    np.testing.assert_allclose(gf, take(sum(sched)), rtol=1e-9, atol=1e-12,
+                               err_msg="graph_feature")
+    hidden = np.asarray(activations.leaky_relu(params["W1"] @ gf))
+    np.testing.assert_allclose(hidden, take(sum(sched) // 2), rtol=1e-9,
+                               atol=1e-12, err_msg="hidden_activation")
+    pred = float(hidden @ np.asarray(params["W2"]))
+    np.testing.assert_allclose(pred, take(1)[0], rtol=1e-9)
+    done()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n,V,rf,L,C,seed", [
+    (5, 5, 4, 2, 4, 9004),
+    (6, 7, 3, 2, 4, 9005),
+])
+def test_smp_theta_physics_matches_reference_binary(tmp_path, n, V, rf, L,
+                                                    C, seed):
+    """First-order physics: theta tower on raw features + the physics
+    per-level MLP head (SMP_theta_physics.h:225-248)."""
+    from graphflow_tpu.models.physics import SMP_theta_physics
+    from graphflow_tpu.models.smp1d import smp1d_states, smp1d_level_features
+    from graphflow_tpu.ops import activations
+    import dataclasses
+
+    nFeat = 4
+    model = SMP_theta_physics(V, rf, L, C, nFeat, seed=0)
+    params = _cast64(model.params)
+    mol = build_molecule(n, nFeat, seed)
+
+    fn = str(tmp_path / "w.txt")
+    arrays = [params["tower"]["H"]]
+    for l in range(L):
+        lev = params["tower"]["levels"][l]
+        for s in range(1, V + 1):
+            arrays += [lev["lambda1"][s:s + 1], lev["lambda2"][s:s + 1],
+                       lev["b"][s]]
+        arrays.append(lev["K"])
+    arrays += [params["W1"], params["W2"]]
+    _write_weights(fn, arrays)
+
+    take, done = _tokens("thetaphys", [n, V, rf, L, C, nFeat, seed, fn])
+    cfg = dataclasses.replace(model.cfg, dtype="float64")
+    sched = cfg.channel_schedule   # physics towers HALVE channels/level
+    pg = prep.prepare_graph(mol, L, V, rf, 0, has_WL_ordering=False,
+                            use_wl_features=False, dtype=np.float64)
+    g = _g64(pg)
+    states = smp1d_states(params["tower"], g, cfg)
+    for l in range(L + 1):
+        Cl = sched[l]
+        arr = np.asarray(states[l])
+        for v in range(n):
+            s_ref = int(take(1)[0])
+            f_ref = take(s_ref * Cl).reshape(s_ref, Cl)
+            np.testing.assert_allclose(
+                arr[v, :s_ref, :], f_ref, rtol=1e-9, atol=1e-12,
+                err_msg=f"level {l} vertex {v}")
+    feats = [np.asarray(x)
+             for x in smp1d_level_features(params["tower"], g, cfg)]
+    for l in range(L + 1):
+        np.testing.assert_allclose(feats[l], take(sched[l]), rtol=1e-9,
+                                   atol=1e-12,
+                                   err_msg=f"level_feature[{l}]")
+    gf = np.concatenate(feats)
+    np.testing.assert_allclose(gf, take(sum(sched)), rtol=1e-9, atol=1e-12)
+    hidden = np.asarray(activations.leaky_relu(params["W1"] @ gf))
+    np.testing.assert_allclose(hidden, take(sum(sched) // 2), rtol=1e-9,
+                               atol=1e-12, err_msg="hidden_activation")
+    pred = float(hidden @ np.asarray(params["W2"]))
+    np.testing.assert_allclose(pred, take(1)[0], rtol=1e-9)
     done()

@@ -62,6 +62,10 @@
 #include "GraphFlow/LCNN.h"
 #elif defined(PARITY_KIND_GCA1D)
 #include "GraphFlow/GCA_1D.h"
+#elif defined(PARITY_KIND_OMEGAPHYS)
+#include "GraphFlow/SMP_omega_physics.h"
+#elif defined(PARITY_KIND_THETAPHYS)
+#include "GraphFlow/SMP_theta_physics.h"
 #else
 #error "define one PARITY_KIND_*"
 #endif
@@ -97,6 +101,17 @@ static DenseGraph *make_molecule(int n, int nFeat, unsigned long long &seed) {
 static void multihot(DenseGraph *mol) {
     for (int u = 0; u < mol->nVertices; ++u) {
         mol->feature[u][u % mol->nFeatures] += 0.5;
+    }
+}
+
+// Deterministic symmetric Coulomb matrix (separate LCG stream).
+static void fill_coulomb(DenseGraph *mol, unsigned long long &seed) {
+    for (int u = 0; u < mol->nVertices; ++u) {
+        for (int v = u; v < mol->nVertices; ++v) {
+            double c = next_value(seed) * 4.0;
+            mol->coulomb[u][v] = c;
+            mol->coulomb[v][u] = c;
+        }
     }
 }
 
@@ -281,6 +296,74 @@ int main(int argc, char **argv) {
                 dump(model->level[l]->hidden[v]);
         dump(model->predict);
         printf("%.17g\n", model->sql->getLoss());
+    }
+#elif defined(PARITY_KIND_OMEGAPHYS)
+    // omegaphys n V rf L C nFeat use_coulomb seed w.txt
+    // Output: per level, per vertex: size, f; per level: level_feature;
+    // graph_feature; hidden_activation; predict.
+    if (!strcmp(kind, "omegaphys")) {
+        int n = atoi(argv[2]), V = atoi(argv[3]), rf = atoi(argv[4]);
+        int L = atoi(argv[5]), C = atoi(argv[6]), nFeat = atoi(argv[7]);
+        int useC = atoi(argv[8]);
+        unsigned long long seed = (unsigned long long)atoll(argv[9]);
+        const char *weights = argv[10];
+        unsigned long long cseed = seed + 777ULL;   // pre-mutation seed
+        DenseGraph *mol = make_molecule(n, nFeat, seed);
+        fill_coulomb(mol, cseed);
+        printf("# kind omegaphys n %d V %d L %d C %d useC %d\n",
+               n, V, L, C, useC);
+        SMP_omega_physics *model =
+            new SMP_omega_physics(useC != 0, V, rf, L, C, nFeat);
+        model->load_model(weights);
+        model->complete_computation_graph(mol);
+        model->graph->forward();
+        for (int l = 0; l <= L; ++l) {
+            for (int v = 0; v < n; ++v) {
+                int size = (l == 0) ? 1
+                    : (int)model->level[l]->phi[v].size();
+                printf("%d ", size);
+                Tensor3D *f = model->level[l]->f[v];
+                for (int i = 0; i < f->size; ++i)
+                    printf("%.17g ", f->value[i]);
+                printf("\n");
+            }
+        }
+        for (int l = 0; l <= L; ++l)
+            dump(model->level_feature[l]);
+        dump(model->graph_feature);
+        dump(model->hidden_activation);
+        printf("%.17g\n", model->predict->value[0]);
+    }
+#elif defined(PARITY_KIND_THETAPHYS)
+    // thetaphys n V rf L C nFeat seed w.txt
+    if (!strcmp(kind, "thetaphys")) {
+        int n = atoi(argv[2]), V = atoi(argv[3]), rf = atoi(argv[4]);
+        int L = atoi(argv[5]), C = atoi(argv[6]), nFeat = atoi(argv[7]);
+        unsigned long long seed = (unsigned long long)atoll(argv[8]);
+        const char *weights = argv[9];
+        DenseGraph *mol = make_molecule(n, nFeat, seed);
+        printf("# kind thetaphys n %d V %d L %d C %d\n", n, V, L, C);
+        SMP_theta_physics *model =
+            new SMP_theta_physics(V, rf, L, C, nFeat);
+        model->load_model(weights);
+        model->complete_computation_graph(mol);
+        model->graph->forward();
+        for (int l = 0; l <= L; ++l) {
+            for (int v = 0; v < n; ++v) {
+                int size = (l == 0) ? 1
+                    : (int)model->level[l]->phi[v].size();
+                printf("%d ", size);
+                Matrix *f = model->level[l]->f[v];
+                for (int i = 0; i < f->size; ++i)
+                    printf("%.17g ", f->value[i]);
+                printf("\n");
+            }
+        }
+        for (int l = 0; l <= L; ++l)
+            dump(model->level_feature[l]);
+        dump(model->graph_feature);
+        dump(model->hidden_activation);
+        printf("%.17g\n", model->predict->value[0]);
     }
 #endif
     else {
