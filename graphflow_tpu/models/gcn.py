@@ -174,8 +174,12 @@ def gcn_forward(params, g, cfg: GCNConfig):
     # ascending-sorted distance column, zero for padding slots.
     dist_col = g["dist"].T * vmask[:, None] * vmask[None, :]  # row v = d(:, v)
     dist_sorted = jnp.sort(dist_col, axis=1)
+    # The distance channel aggregates with the SAME RisiLayer order as the
+    # vertex channel (GCN_2D_Distance.h:141: neighbor[v] = RisiLayer2D;
+    # GCN_3D_Distance likewise) — caught by the round-5 parity harness.
     final_distance, _ = _channel_forward(
-        params["dlevels"], dist_sorted, M_of, vmask, 1, cfg.nHiddens)
+        params["dlevels"], dist_sorted, M_of, vmask, cfg.order,
+        cfg.nHiddens)
     final = jnp.concatenate([final_vertex, final_distance])
     return jnp.dot(final, params["W"]), final
 
@@ -189,6 +193,10 @@ class GCN(GraphModel):
                             if cfg.optimizer == "momentum" else {}))
         self.cfg = cfg
         self.params = init_gcn_params(jax.random.PRNGKey(seed), cfg)
+        # save_model/load_model are CHANNEL-BLOCKED — all vertex-channel
+        # weights, then all distance-channel weights, then W — even though
+        # the sgd registration interleaves the channels per level
+        # (GCN_1D_Distance.h save/load vs :166-176).
         order = []
         for l in range(cfg.nLevels + 1):
             order.append(f"levels/{l}/W1")

@@ -32,7 +32,8 @@ KINDS = {"ccn1d": "CCN1D", "smp2dver2": "SMP2DVER2",
          "smp1d": "SMP1D", "smp1dver2": "SMP1DVER2",
          "smp1dver3": "SMP1DVER3", "usmp1d": "USMP1D",
          "usmp1dver2": "USMP1DVER2", "lcnn": "LCNN", "gca1d": "GCA1D", "omegaphys": "OMEGAPHYS",
-         "thetaphys": "THETAPHYS"}
+         "thetaphys": "THETAPHYS", "gcn1dd": "GCN1DD",
+         "gcn2dd": "GCN2DD", "gcn3dd": "GCN3DD"}
 
 
 def _bin(kind):
@@ -765,5 +766,91 @@ def test_smp_theta_physics_matches_reference_binary(tmp_path, n, V, rf, L,
     np.testing.assert_allclose(hidden, take(sum(sched) // 2), rtol=1e-9,
                                atol=1e-12, err_msg="hidden_activation")
     pred = float(hidden @ np.asarray(params["W2"]))
+    np.testing.assert_allclose(pred, take(1)[0], rtol=1e-9)
+    done()
+
+
+# ----------------------------------------------------------------------
+# GCN_{1,2,3}D_Distance (two-channel GCN with the sorted-distance channel)
+# ----------------------------------------------------------------------
+
+def fill_distance(mol, seed):
+    """Replicates the harness's deterministic symmetric distance stream."""
+    lcg = _LCG(seed)
+    n = mol.nVertices
+    for u in range(n):
+        for v in range(u + 1, n):
+            c = (lcg.next() + 0.5) * 3.0
+            mol.distance[u, v] = mol.distance[v, u] = c
+    return mol
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind,order,n,V,L,H,R,seed", [
+    ("gcn1dd", 1, 6, 6, 2, 5, 1, 9101),
+    ("gcn1dd", 1, 7, 9, 3, 4, 2, 9102),   # padded V
+    ("gcn2dd", 2, 6, 6, 2, 4, 1, 9103),
+    ("gcn3dd", 3, 6, 7, 2, 4, 2, 9104),
+])
+def test_gcn_distance_matches_reference_binary(tmp_path, kind, order, n, V,
+                                               L, H, R, seed):
+    """Pins the sorted-distance channel (ascending sort over the FULL
+    padded distance column, GCN_1D_Distance.h:98-118), the per-order
+    distance-channel aggregation (RisiLayer2D/3D + KMax in the 2D/3D
+    variants, GCN_2D_Distance.h:141), and the interleaved registration
+    order (GCN_1D_Distance.h:166-176)."""
+    from graphflow_tpu.models.gcn import (GCNConfig, init_gcn_params,
+                                          _channel_forward)
+
+    nFeat, nDepth = 4, 3
+    cfg = GCNConfig(nLevels=L, max_nVertices=V, nFeatures=nFeat, nHiddens=H,
+                    nDepth=nDepth, max_Radius=R, order=order,
+                    use_distance_channel=True, dtype="float64")
+    params = _cast64(init_gcn_params(jax.random.PRNGKey(0), cfg))
+    mol = build_molecule(n, nFeat, seed)
+    fill_distance(mol, seed + 555)
+
+    fn = str(tmp_path / "w.txt")
+    # Channel-blocked checkpoint format (GCN_1D_Distance.h load_model):
+    # all vertex-channel weights, then all distance-channel weights.
+    arrays = []
+    for l in range(L + 1):
+        arrays.append(params["levels"][l]["W1"])
+        if l > 0:
+            arrays.append(params["levels"][l]["W2"])
+    for l in range(L + 1):
+        arrays.append(params["dlevels"][l]["W1"])
+        if l > 0:
+            arrays.append(params["dlevels"][l]["W2"])
+    arrays.append(params["W"])
+    _write_weights(fn, arrays)
+
+    take, done = _tokens(kind, [n, V, L, H, nFeat, nDepth, R, seed, fn])
+    pg = prep.prepare_graph(mol, L, V, 1, nDepth, dtype=np.float64)
+    g = _g64(pg)
+
+    vmask, sp = g["vmask"], g["sp"]
+    M_of = lambda l: ((sp <= min(l, R)).astype(vmask.dtype)
+                      * vmask[:, None] * vmask[None, :])
+    vstates, dstates = [], []
+    fv, _ = _channel_forward(params["levels"], g["wl_feat"], M_of, vmask,
+                             order, H, collect=vstates)
+    dist_col = g["dist"].T * vmask[:, None] * vmask[None, :]
+    dist_sorted = jnp.sort(dist_col, axis=1)
+    fd, _ = _channel_forward(params["dlevels"], dist_sorted, M_of, vmask,
+                             order, H, collect=dstates)
+    for states, name in ((vstates, "vertex"), (dstates, "distance")):
+        for l in range(L + 1):
+            arr = np.asarray(states[l])
+            for v in range(n):
+                np.testing.assert_allclose(
+                    arr[v], take(H), rtol=1e-9, atol=1e-12,
+                    err_msg=f"{name} level {l} vertex {v}")
+    np.testing.assert_allclose(np.asarray(fv), take(H), rtol=1e-9,
+                               atol=1e-12, err_msg="final_vertex")
+    np.testing.assert_allclose(np.asarray(fd), take(H), rtol=1e-9,
+                               atol=1e-12, err_msg="final_distance")
+    pred = float(np.concatenate([np.asarray(fv), np.asarray(fd)])
+                 @ np.asarray(params["W"]))
     np.testing.assert_allclose(pred, take(1)[0], rtol=1e-9)
     done()

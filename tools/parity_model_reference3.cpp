@@ -62,6 +62,15 @@
 #include "GraphFlow/LCNN.h"
 #elif defined(PARITY_KIND_GCA1D)
 #include "GraphFlow/GCA_1D.h"
+#elif defined(PARITY_KIND_GCN1DD)
+#include "GraphFlow/GCN_1D_Distance.h"
+#define GCND_MODEL GCN_1D_Distance
+#elif defined(PARITY_KIND_GCN2DD)
+#include "GraphFlow/GCN_2D_Distance.h"
+#define GCND_MODEL GCN_2D_Distance
+#elif defined(PARITY_KIND_GCN3DD)
+#include "GraphFlow/GCN_3D_Distance.h"
+#define GCND_MODEL GCN_3D_Distance
 #elif defined(PARITY_KIND_OMEGAPHYS)
 #include "GraphFlow/SMP_omega_physics.h"
 #elif defined(PARITY_KIND_THETAPHYS)
@@ -111,6 +120,17 @@ static void fill_coulomb(DenseGraph *mol, unsigned long long &seed) {
             double c = next_value(seed) * 4.0;
             mol->coulomb[u][v] = c;
             mol->coulomb[v][u] = c;
+        }
+    }
+}
+
+// Deterministic symmetric geometric distances (zero diagonal).
+static void fill_distance(DenseGraph *mol, unsigned long long &seed) {
+    for (int u = 0; u < mol->nVertices; ++u) {
+        for (int v = u + 1; v < mol->nVertices; ++v) {
+            double c = (next_value(seed) + 0.5) * 3.0;
+            mol->distance[u][v] = c;
+            mol->distance[v][u] = c;
         }
     }
 }
@@ -296,6 +316,35 @@ int main(int argc, char **argv) {
                 dump(model->level[l]->hidden[v]);
         dump(model->predict);
         printf("%.17g\n", model->sql->getLoss());
+    }
+#elif defined(GCND_MODEL)
+    // gcn1dd|gcn2dd|gcn3dd n V L H nFeat nDepth R seed w.txt
+    // Output: per level per vertex vertex-channel hidden (H); per level per
+    // vertex distance-channel hidden (H); final_vertex; final_distance;
+    // predict.
+    if (!strncmp(kind, "gcn", 3)) {
+        int n = atoi(argv[2]), V = atoi(argv[3]), L = atoi(argv[4]);
+        int H = atoi(argv[5]), nFeat = atoi(argv[6]), nDepth = atoi(argv[7]);
+        int R = atoi(argv[8]);
+        unsigned long long dseed = (unsigned long long)atoll(argv[9]) + 555ULL;
+        unsigned long long seed = (unsigned long long)atoll(argv[9]);
+        const char *weights = argv[10];
+        DenseGraph *mol = make_molecule(n, nFeat, seed);
+        fill_distance(mol, dseed);
+        printf("# kind %s n %d V %d L %d H %d\n", kind, n, V, L, H);
+        GCND_MODEL *model = new GCND_MODEL(L, V, nFeat, H, nDepth, R, 0.9);
+        model->load_model(weights);
+        model->complete_computation_graph(mol);
+        model->graph->forward();
+        for (int l = 0; l <= L; ++l)
+            for (int v = 0; v < n; ++v)
+                dump(model->chanel_vertex[l]->hidden[v]);
+        for (int l = 0; l <= L; ++l)
+            for (int v = 0; v < n; ++v)
+                dump(model->chanel_distance[l]->hidden[v]);
+        dump(model->final_vertex);
+        dump(model->final_distance);
+        printf("%.17g\n", model->predict->value[0]);
     }
 #elif defined(PARITY_KIND_OMEGAPHYS)
     // omegaphys n V rf L C nFeat use_coulomb seed w.txt
