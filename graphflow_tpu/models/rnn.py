@@ -50,7 +50,14 @@ def _lstm_cell(params, carry, x):
 def _gru_cell(params, h, x):
     z = jax.nn.sigmoid(params["W_z"] @ x + params["b_z"] + params["U_z"] @ h)
     r = jax.nn.sigmoid(params["W_r"] @ x + params["b_r"] + params["U_r"] @ h)
-    ht = jnp.tanh(params["W_h"] @ x + params["b_h"] + params["U_h"] @ (r * h))
+    # The candidate node is CONSTRUCTED as Tanh (GRU.h:289) but registered
+    # under the SIGMOID opcode; GraphFlow's dispatcher C-casts and runs the
+    # non-virtual Sigmoid::forward (same layout), so the shipped binary's
+    # candidate activation IS the sigmoid — reproduced here and
+    # binary-pinned in test_model_parity3 (same quirk family as the
+    # SMP_2D_ver2 TENSORMUL cast).
+    ht = jax.nn.sigmoid(
+        params["W_h"] @ x + params["b_h"] + params["U_h"] @ (r * h))
     h_new = z * ht + (1.0 - z) * h      # GRU.h:292-300 convention
     return h_new, h_new
 
@@ -73,7 +80,12 @@ class _SequenceModel:
             pooled = jnp.cumsum(hs, axis=0) / jnp.arange(
                 1, T + 1, dtype=hs.dtype)[:, None]          # mean(h_0..h_l)
             logits = pooled @ params["theta"].T             # [T, nClasses]
-            logp = jax.nn.log_softmax(logits, axis=-1)
+            # The reference wires LogLoss on top of the SOFTMAX node
+            # (LSTM.h: logl = LogLoss(softmax, target); LogLoss.h re-runs a
+            # max-subtracted softmax on its input) — the trained objective
+            # is a DOUBLE softmax.  Binary-pinned in test_model_parity3.
+            probs = jax.nn.softmax(logits, axis=-1)
+            logp = jax.nn.log_softmax(probs, axis=-1)
             return -jnp.take_along_axis(
                 logp, targets[:, None], axis=1).squeeze(1)  # [T]
 

@@ -33,7 +33,8 @@ KINDS = {"ccn1d": "CCN1D", "smp2dver2": "SMP2DVER2",
          "smp1dver3": "SMP1DVER3", "usmp1d": "USMP1D",
          "usmp1dver2": "USMP1DVER2", "lcnn": "LCNN", "gca1d": "GCA1D", "omegaphys": "OMEGAPHYS",
          "thetaphys": "THETAPHYS", "gcn1dd": "GCN1DD",
-         "gcn2dd": "GCN2DD", "gcn3dd": "GCN3DD"}
+         "gcn2dd": "GCN2DD", "gcn3dd": "GCN3DD",
+         "lstm": "LSTM", "gru": "GRU2", "sigmapair": "SIGMAPAIR"}
 
 
 def _bin(kind):
@@ -852,5 +853,165 @@ def test_gcn_distance_matches_reference_binary(tmp_path, kind, order, n, V,
                                atol=1e-12, err_msg="final_distance")
     pred = float(np.concatenate([np.asarray(fv), np.asarray(fd)])
                  @ np.asarray(params["W"]))
+    np.testing.assert_allclose(pred, take(1)[0], rtol=1e-9)
+    done()
+
+
+# ----------------------------------------------------------------------
+# LSTM / GRU sequence cells
+# ----------------------------------------------------------------------
+
+def _rnn_sequence(nFeat, nClasses, T, seed):
+    """Replicates the harness's x/target streams (one shared LCG)."""
+    lcg = _LCG(seed)
+    xs = np.array([[lcg.next() for _ in range(nFeat)] for _ in range(T)])
+    ts = np.array([min(int((lcg.next() + 0.5) * nClasses), nClasses - 1)
+                   for _ in range(T)], dtype=np.int64)
+    return xs, ts
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind,F,H,C,T,seed", [
+    ("lstm", 3, 5, 4, 6, 9201),
+    ("lstm", 4, 4, 3, 8, 9202),
+    ("gru", 3, 5, 4, 6, 9203),
+    ("gru", 4, 4, 3, 8, 9204),
+])
+def test_rnn_matches_reference_binary(tmp_path, kind, F, H, C, T, seed):
+    """Pins the LSTM cell (peephole Vo @ memory in the output gate,
+    LSTM.h:179-196), the GRU cell (reset-gated candidate, GRU.h:277-300),
+    the per-step cumulative-average pooling head (LSTM.h:337-345) and the
+    LogLoss sign convention."""
+    from graphflow_tpu.models.rnn import LSTM, GRU, _lstm_cell, _gru_cell
+
+    model = (LSTM if kind == "lstm" else GRU)(F, H, C, T, seed=0)
+    params = _cast64(model.params)
+    xs, ts = _rnn_sequence(F, C, T, seed)
+
+    order = (["Wi", "Ui", "bi", "Wc", "Uc", "bc", "Wf", "Uf", "bf",
+              "Wo", "Uo", "Vo", "bo", "theta"] if kind == "lstm" else
+             ["W_z", "U_z", "b_z", "W_r", "U_r", "b_r", "W_h", "U_h",
+              "b_h", "theta"])
+    fn = str(tmp_path / "w.txt")
+    _write_weights(fn, [params[k] for k in order])
+
+    take, done = _tokens(kind, [F, H, C, T, seed, fn])
+
+    # f64 rollout through our cells
+    if kind == "lstm":
+        carry = (jnp.zeros((H,), jnp.float64), jnp.zeros((H,), jnp.float64))
+        hs = []
+        for t in range(T):
+            carry, h = _lstm_cell(params, carry, jnp.asarray(xs[t]))
+            hs.append(np.asarray(h))
+    else:
+        h = jnp.zeros((H,), jnp.float64)
+        hs = []
+        for t in range(T):
+            h, _ = _gru_cell(params, h, jnp.asarray(xs[t]))
+            hs.append(np.asarray(h))
+    hs = np.stack(hs)
+    pooled = np.cumsum(hs, axis=0) / np.arange(1, T + 1)[:, None]
+    logits = pooled @ np.asarray(params["theta"]).T
+    e = np.exp(logits - logits.max(axis=1, keepdims=True))
+    probs = e / e.sum(axis=1, keepdims=True)
+    for t in range(T):
+        np.testing.assert_allclose(hs[t], take(H), rtol=1e-9, atol=1e-12,
+                                   err_msg=f"hidden[{t}]")
+        np.testing.assert_allclose(pooled[t], take(H), rtol=1e-9,
+                                   atol=1e-12, err_msg=f"average_pool[{t}]")
+        np.testing.assert_allclose(probs[t], take(C), rtol=1e-9, atol=1e-12,
+                                   err_msg=f"softmax[{t}]")
+    # LogLoss consumes the SOFTMAX node, i.e. the reference objective is a
+    # double softmax; getLoss returns the sum of log-likelihoods (negative
+    # numbers, higher is better) while our loss is the NLL.
+    e2 = np.exp(probs - probs.max(axis=1, keepdims=True))
+    probs2 = e2 / e2.sum(axis=1, keepdims=True)
+    nll = -np.log(probs2[np.arange(T), ts]).sum()
+    ref_loss = take(1)[0]
+    np.testing.assert_allclose(-ref_loss, nll, rtol=1e-9)
+    done()
+
+
+# ----------------------------------------------------------------------
+# SMP_sigma_pairgraphs (contraction-case dropout, deterministic TEST mode)
+# ----------------------------------------------------------------------
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n1,n2,V1,V2,rf,L,C,nKept,seed", [
+    (5, 6, 5, 6, 4, 2, 4, 9, 9301),
+    (6, 7, 7, 8, 3, 2, 4, 5, 9302),   # padded + capped, different nKept
+])
+def test_sigma_pairgraphs_test_mode_matches_reference_binary(
+        tmp_path, n1, n2, V1, V2, rf, L, C, nKept, seed):
+    """Pins the eval-mode case-dropout scaling: ALL 18 cases scaled by
+    nKept/18 (RisiContraction_18_dropout.h:466-471), plus the sigma tower
+    channel halving and MLP head."""
+    from graphflow_tpu.models.pairgraphs import SMPPairGraphs, _mlp_head_dims
+    from graphflow_tpu.models.smp2d import smp2d_states, smp2d_level_features
+    from graphflow_tpu.ops.contractions import dropout_case_mask
+    from graphflow_tpu.ops import activations
+    import dataclasses
+
+    nF1 = nF2 = 4
+    model = SMPPairGraphs(2, V1, V2, rf, L, C, nF1, nF2,
+                          dropout_nKept=nKept, seed=0)
+    params = _cast64(model.params)
+    mol1 = build_molecule(n1, nF1, seed)
+    mol2 = build_molecule(n2, nF2, seed + 1000)
+
+    fn = str(tmp_path / "w.txt")
+    arrays = [params["tower1"]["H"], params["tower2"]["H"]]
+    for l in range(L):
+        arrays += [params["tower1"]["levels"][l]["K"],
+                   params["tower1"]["levels"][l]["b"],
+                   params["tower2"]["levels"][l]["K"],
+                   params["tower2"]["levels"][l]["b"]]
+    arrays += [params["W1"], params["W2"], params["W3"]]
+    _write_weights(fn, arrays)
+
+    take, done = _tokens("sigmapair", [n1, n2, V1, V2, rf, L, C, nF1, nF2,
+                                       nKept, seed, fn])
+    cfg1 = dataclasses.replace(model.cfg1, dtype="float64")
+    cfg2 = dataclasses.replace(model.cfg2, dtype="float64")
+    pg1 = prep.prepare_graph(mol1, L, V1, rf, 0, has_WL_ordering=False,
+                             use_wl_features=False, dtype=np.float64)
+    pg2 = prep.prepare_graph(mol2, L, V2, rf, 0, has_WL_ordering=False,
+                             use_wl_features=False, dtype=np.float64)
+    g1, g2 = _g64(pg1), _g64(pg2)
+    mask = dropout_case_mask(jax.random.PRNGKey(0), nKept,
+                             train=False).astype(np.float64)
+
+    sched = cfg1.channel_schedule
+    st1 = smp2d_states(params["tower1"], g1, cfg1, case_mask=mask)
+    st2 = smp2d_states(params["tower2"], g2, cfg2, case_mask=mask)
+    for l in range(L + 1):
+        Cl = sched[l]
+        for (st, n, name) in ((st1, n1, "t1"), (st2, n2, "t2")):
+            arr = np.asarray(st[l])
+            for v in range(n):
+                s_ref = int(take(1)[0])
+                f_ref = take(s_ref * s_ref * Cl).reshape(s_ref, s_ref, Cl)
+                np.testing.assert_allclose(
+                    arr[v, :s_ref, :s_ref, :], f_ref, rtol=1e-9, atol=1e-12,
+                    err_msg=f"{name} level {l} vertex {v}")
+    f1 = [np.asarray(x) for x in smp2d_level_features(
+        params["tower1"], g1, cfg1, case_mask=mask)]
+    f2 = [np.asarray(x) for x in smp2d_level_features(
+        params["tower2"], g2, cfg2, case_mask=mask)]
+    for l in range(L + 1):
+        np.testing.assert_allclose(f1[l], take(sched[l]), rtol=1e-9,
+                                   atol=1e-12)
+        np.testing.assert_allclose(f2[l], take(sched[l]), rtol=1e-9,
+                                   atol=1e-12)
+    merged = np.concatenate([x for pair in zip(f1, f2) for x in pair])
+    nTotal = 2 * sum(sched)
+    np.testing.assert_allclose(merged, take(nTotal), rtol=1e-9, atol=1e-12)
+    h1 = np.asarray(activations.leaky_relu(params["W1"] @ merged))
+    h2 = np.asarray(activations.leaky_relu(params["W2"] @ h1))
+    hd = _mlp_head_dims(nTotal)
+    np.testing.assert_allclose(h1, take(hd[0]), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(h2, take(hd[1]), rtol=1e-9, atol=1e-12)
+    pred = float(h2 @ np.asarray(params["W3"]))
     np.testing.assert_allclose(pred, take(1)[0], rtol=1e-9)
     done()

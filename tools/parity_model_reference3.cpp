@@ -20,6 +20,7 @@
 #include <cstring>
 
 // One reference model header per binary (file-scope globals collide).
+#include <fstream>
 #include "GraphFlow/DenseGraph.h"
 #if defined(PARITY_KIND_CCN1D)
 #include "GraphFlow/CCN_1D.h"
@@ -75,6 +76,14 @@
 #include "GraphFlow/SMP_omega_physics.h"
 #elif defined(PARITY_KIND_THETAPHYS)
 #include "GraphFlow/SMP_theta_physics.h"
+#elif defined(PARITY_KIND_SIGMAPAIR)
+#include "GraphFlow/SMP_sigma_pairgraphs.h"
+#elif defined(PARITY_KIND_LSTM)
+#include "GraphFlow/LSTM.h"
+#define RNN_MODEL LSTM
+#elif defined(PARITY_KIND_GRU2)
+#include "GraphFlow/GRU.h"
+#define RNN_MODEL GRU
 #else
 #error "define one PARITY_KIND_*"
 #endif
@@ -413,6 +422,95 @@ int main(int argc, char **argv) {
         dump(model->graph_feature);
         dump(model->hidden_activation);
         printf("%.17g\n", model->predict->value[0]);
+    }
+#elif defined(PARITY_KIND_SIGMAPAIR)
+    // sigmapair n1 n2 V1 V2 rf L C nF1 nF2 nKept seed w.txt
+    // TEST MODE (deterministic): all 18 contraction cases scaled by
+    // nKept/18 (RisiContraction_18_dropout.h:466-471).  Output: per-tower
+    // per-level per-vertex states; per level level_feature_1/2;
+    // graph_feature; hidden_relu_1/2; predict.
+    if (!strcmp(kind, "sigmapair")) {
+        int n1 = atoi(argv[2]), n2 = atoi(argv[3]);
+        int V1 = atoi(argv[4]), V2 = atoi(argv[5]), rf = atoi(argv[6]);
+        int L = atoi(argv[7]), C = atoi(argv[8]);
+        int nF1 = atoi(argv[9]), nF2 = atoi(argv[10]);
+        int nKept = atoi(argv[11]);
+        unsigned long long seed = (unsigned long long)atoll(argv[12]);
+        const char *weights = argv[13];
+        unsigned long long seed2 = seed + 1000ULL;
+        DenseGraph *mol1 = make_molecule(n1, nF1, seed);
+        DenseGraph *mol2 = make_molecule(n2, nF2, seed2);
+        printf("# kind sigmapair n1 %d n2 %d L %d C %d nKept %d\n",
+               n1, n2, L, C, nKept);
+        SMP_sigma_pairgraphs *model = new SMP_sigma_pairgraphs(
+            V1, V2, rf, L, C, nF1, nF2, nKept);
+        model->setTestMode();
+        model->load_model(weights);
+        model->complete_computation_graph(mol1, mol2);
+        model->graph->forward();
+        for (int l = 0; l <= L; ++l) {
+            for (int v = 0; v < n1; ++v) {
+                int size = (l == 0) ? 1
+                    : (int)model->level_1[l]->phi[v].size();
+                printf("%d ", size);
+                Tensor3D *f = model->level_1[l]->f[v];
+                for (int i = 0; i < f->size; ++i)
+                    printf("%.17g ", f->value[i]);
+                printf("\n");
+            }
+            for (int v = 0; v < n2; ++v) {
+                int size = (l == 0) ? 1
+                    : (int)model->level_2[l]->phi[v].size();
+                printf("%d ", size);
+                Tensor3D *f = model->level_2[l]->f[v];
+                for (int i = 0; i < f->size; ++i)
+                    printf("%.17g ", f->value[i]);
+                printf("\n");
+            }
+        }
+        for (int l = 0; l <= L; ++l) {
+            dump(model->level_feature_1[l]);
+            dump(model->level_feature_2[l]);
+        }
+        dump(model->graph_feature);
+        dump(model->hidden_relu_1);
+        dump(model->hidden_relu_2);
+        printf("%.17g\n", model->predict->value[0]);
+    }
+#elif defined(RNN_MODEL)
+    // lstm|gru nFeat H nClasses T seed w.txt
+    // Output: per step: hidden (H), average_pool (H), softmax (nClasses);
+    // then the total getLoss.
+    if (!strcmp(kind, "lstm") || !strcmp(kind, "gru")) {
+        int nFeat = atoi(argv[2]), H = atoi(argv[3]);
+        int nClasses = atoi(argv[4]), T = atoi(argv[5]);
+        unsigned long long seed = (unsigned long long)atoll(argv[6]);
+        const char *weights = argv[7];
+        printf("# kind %s F %d H %d C %d T %d\n", kind, nFeat, H, nClasses,
+               T);
+        double **xs = new double *[T];
+        int *ts = new int[T];
+        for (int l = 0; l < T; ++l) {
+            xs[l] = new double[nFeat];
+            for (int f = 0; f < nFeat; ++f)
+                xs[l][f] = next_value(seed);
+        }
+        for (int l = 0; l < T; ++l) {
+            int t = (int)((next_value(seed) + 0.5) * nClasses);
+            ts[l] = t >= nClasses ? nClasses - 1 : t;
+        }
+        RNN_MODEL *model = new RNN_MODEL(nFeat, H, nClasses, T, 0.9);
+        model->load_model(weights);
+        model->complete_computation_graph(T, xs);
+        for (int l = 0; l < T; ++l)
+            model->level[l]->target->value[0] = ts[l];
+        model->graph->forward();
+        for (int l = 0; l < T; ++l) {
+            dump(model->level[l]->hidden);
+            dump(model->level[l]->average_pool);
+            dump(model->level[l]->softmax);
+        }
+        printf("%.17g\n", model->getLoss(T));
     }
 #endif
     else {
