@@ -70,6 +70,38 @@ def _chain_time(make_chain, args, chain_len, reps=5):
 #    numbers are comparable across rounds.
 # ----------------------------------------------------------------------
 
+def run_gather_calibration(V=8192, H=64, chain_len=65, reps=5):
+    """Flat row-gather GB/s on a fixed [V, H] f32 array.
+
+    The ~2x cross-session speed swing CONCENTRATES in gather throughput
+    while matmul-bound kernels stay stable (docs/KERNEL_NOTES.md, round-4
+    variance analysis) — so gather-bound numbers (spmm_edges_per_s) are
+    only comparable across rounds as a ratio to THIS calibration, not to
+    the matmul one.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(V, H), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, V, size=(V,)), jnp.int32)
+
+    def chain(k):
+        @jax.jit
+        def run_fn(x, idx):
+            def body(xx, _):
+                out = jnp.take(xx, idx, axis=0)
+                return out, out[0, 0]
+            _, zs = jax.lax.scan(body, x, None, length=k)
+            return zs.sum()
+        return run_fn
+
+    secs = _chain_time(chain, (x, idx), chain_len, reps)
+    bytes_moved = 2 * V * H * 4          # read + write
+    return bytes_moved / secs / 1e9
+
+
 def run_calibration(n=4096, chain_len=17, reps=5):
     """bf16 [n,n]@[n,n] achieved TFLOP/s (peak ~197 on v5e)."""
     import jax
@@ -328,6 +360,8 @@ def main():
 
     note("device calibration")
     calib_tflops = run_calibration()
+    note("gather calibration")
+    calib_gather = run_gather_calibration()
 
     note("bank layer")
     secs = run_bank(B=B, P=P, C=C)
@@ -341,6 +375,32 @@ def main():
     train_f32 = run_train_level(V=B, P=P, C=C)
     note("train level bf16")
     train_bf16 = run_train_level(V=B, P=P, C=C, dtype="bfloat16")
+
+    # VERDICT r4 item 3: the C=128 escape hatch.  The op-issue-wall
+    # analysis (docs/KERNEL_NOTES.md) says the v3 kernel is bound by
+    # scalar-core op issue at C=32 (~1.3% MFU) and predicts ~4x MXU payload
+    # per op at C=128 with the same op count — measure it instead of
+    # arguing it.
+    c128 = {}
+    for cw in (128, 64):
+        try:
+            note(f"level f32 C={cw}")
+            l_f32 = run_level(V=B, P=P, C=cw, dtype="float32", chain_len=5)
+            note(f"level bf16 C={cw}")
+            l_bf16 = run_level(V=B, P=P, C=cw, dtype="bfloat16",
+                               chain_len=5)
+            fl = layer_flops(B, P, cw)
+            c128.update({
+                f"level_step_ms_f32_c{cw}": round(l_f32 * 1e3, 3),
+                f"level_step_gflops_f32_c{cw}": round(fl / l_f32 / 1e9, 2),
+                f"level_step_ms_bf16_c{cw}": round(l_bf16 * 1e3, 3),
+                f"level_step_gflops_bf16_c{cw}": round(fl / l_bf16 / 1e9,
+                                                       2),
+            })
+            break
+        except Exception as e:   # Mosaic/VMEM limits: fall to C=64
+            note(f"level C={cw} failed: {type(e).__name__}")
+            c128[f"level_step_c{cw}_error"] = str(e)[:160]
     note("spmm edges")
     edge_secs, n_edges = run_edges()
     note("whole model")
@@ -379,17 +439,30 @@ def main():
             "train_level_ms_bf16": round(train_bf16 * 1e3, 3),
             "spmm_edges_per_s": round(n_edges / edge_secs / 1e6, 2),
             "spmm_edges_unit": "Medges/s/chip (V=8192, D=16, H=64)",
-            "mfu_pct_vs_bf16_peak": round(100 * gflops * 1e9 / V5E_BF16_PEAK,
-                                          2),
+            # SpMM is gather-bound; only the ratio to the gather
+            # calibration is comparable across rounds/sessions.
+            "spmm_edges_per_gather_gbps": round(
+                n_edges / edge_secs / 1e6 / calib_gather, 3),
+            # LOWER-BOUND convention: the denominator is the v5e public
+            # bf16 peak (197 TF), but the calibration matmul has measured
+            # up to ~300 TF through the tunnel proxy — the true peak of
+            # the part is uncertain, so treat this as a floor.
+            "mfu_pct_vs_bf16_peak_lowerbound": round(
+                100 * gflops * 1e9 / V5E_BF16_PEAK, 2),
             "model_batchlearn_s": round(model_bl_s, 4),
             "model_batchlearn_workload": "SMP_omega 16 mols V=20 rf=10 "
                                          "L=3 C=20 (BASELINE.md table)",
             "model_batchlearn_vs_ref_serial": model_vs_ref,
             "model_predict_batched_ms_per_mol": round(model_pred_s * 1e3, 3),
             "device_calib_bf16_matmul_tflops": round(calib_tflops, 1),
-            "device_calib_note": "chip speed swings ~2x across sessions; "
-                                 "compare rounds via this calibration",
+            "device_calib_gather_gbps": round(calib_gather, 1),
+            "device_calib_note": "chip speed swings ~2x across sessions "
+                                 "(the swing concentrates in gather "
+                                 "throughput); compare matmul-bound rounds "
+                                 "via the matmul calib and gather-bound "
+                                 "rounds via the gather calib",
             "onchip_bank_parity_relerr": parity_err,
+            **c128,
         },
     }))
 

@@ -42,6 +42,12 @@ def _enable_compilation_cache():
 
     if os.environ.get("GRAPHFLOW_TPU_NO_CACHE"):
         return
+    # CPU-only processes (tests, the driver's multichip dryrun) gain
+    # nothing from the persistent cache — XLA:CPU compiles are fast — and
+    # reloading AOT entries compiled under different host-feature flags
+    # spams pages of cpu_aot_loader errors that bury real failures.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
     import jax
 
     try:

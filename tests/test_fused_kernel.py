@@ -75,6 +75,7 @@ def test_fused_level_all_sentinel_slots(ver):
     assert np.abs(ref - got).max() < 1e-4 * max(np.abs(ref).max(), 1.0)
 
 
+@pytest.mark.slow
 def test_fused_train_path_grads_match_xla():
     """risi18_level_train (Pallas fwd + Pallas bwd + one-hot scatter) must
     reproduce the XLA composition's gradients exactly."""
@@ -99,6 +100,7 @@ def test_fused_train_path_grads_match_xla():
         assert float(jnp.abs(a - c).max()) < 2e-5 * scale
 
 
+@pytest.mark.slow
 def test_fused_level_custom_vjp_matches_xla_grad():
     """risi18_level's VJP equals the autodiff of the XLA composition."""
     from graphflow_tpu.ops.risi_fused_pallas import risi18_level
@@ -132,6 +134,7 @@ def test_fused_level_v3_bf16_parity():
     assert np.abs(ref - got).max() < 3e-2 * scale
 
 
+@pytest.mark.slow
 def test_fused_train_path_bf16_grads_match_xla():
     """The v3t training path in bf16 (f32 T2 residual, bf16 state/K) must
     track the f32 XLA composition's gradients at bf16 tolerance."""

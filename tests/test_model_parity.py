@@ -41,8 +41,9 @@ def _build():
         return False
 
 
-pytestmark = pytest.mark.skipif(not _build(),
-                                reason="reference tree or g++ unavailable")
+pytestmark = [pytest.mark.skipif(not _build(),
+                                 reason="reference tree or g++ unavailable"),
+              pytest.mark.slow]
 
 
 class _LCG:
