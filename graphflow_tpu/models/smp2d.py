@@ -118,6 +118,22 @@ def init_smp2d_params(key, cfg: SMP2DConfig):
     return params
 
 
+def _t2_frontend_ok(cfg: SMP2DConfig, dtype) -> bool:
+    """Whether the v3 alignment front-end can serve this level: TPU
+    platform, f32/bf16, and P at the kernel's sublane-tile multiple (the
+    same constraint as the fused 18-case routes)."""
+    dev = jax.config.jax_default_device
+    platform = dev.platform if dev is not None else jax.default_backend()
+    if platform not in ("tpu", "axon"):
+        return False
+    dt = jnp.dtype(dtype)
+    if dt == jnp.dtype(jnp.float32):
+        return cfg.P % 8 == 0
+    if dt == jnp.dtype(jnp.bfloat16):
+        return cfg.P % 16 == 0
+    return False
+
+
 def _gather_neighbor_tensors(state_pad, nbr, pos):
     """The TPU form of the per-(v, w) permutation matmuls X f_w X^T
     (reference ``SMP_omega.h:641-648``).
@@ -268,8 +284,19 @@ def smp2d_states(params, g, cfg: SMP2DConfig, case_mask=None,
             state = Z.reshape(V, P, P, Cout) * g["smask"][l + 1][:, :, :, None]
             states.append(state)
             continue
-        state_pad = jnp.pad(state, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        T = _gather_neighbor_tensors(state_pad, g["nbr"][l], g["pos"][l])
+        if (cfg.contraction in (10, 50) and case_mask is None and not training
+                and uniform_C and cfg.use_fused_kernel is None
+                and _t2_frontend_ok(cfg, state.dtype)):
+            # ver6/ver7 inference: the v3 kernel's DMA+alignment front-end
+            # replaces the XLA take-gather (bit-exact; ver6 5.09 -> 4.04
+            # ms, ver7 10.35 -> 8.89 ms at V=256 P=16 C=32 —
+            # docs/KERNEL_NOTES.md round 5).  Training keeps the
+            # take-gather path (native scatter adjoint).
+            from graphflow_tpu.ops.risi_fused_pallas import risi18_aligned_t2
+            T = risi18_aligned_t2(state, g["nbr"][l], g["pos"][l])
+        else:
+            state_pad = jnp.pad(state, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            T = _gather_neighbor_tensors(state_pad, g["nbr"][l], g["pos"][l])
         if use_bank_train:
             from graphflow_tpu.ops.risi_pallas import risi18_bank_train
             Z = (risi18_bank_train(T, g["radj"][l], Kl).reshape(V, P * P,

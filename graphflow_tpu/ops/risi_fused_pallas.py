@@ -1043,6 +1043,36 @@ def _reference_level(state, nbr, pos, radj, K, b, negslope=0.01):
     return jnp.where(Z > 0, Z, negslope * Z).astype(state.dtype)
 
 
+def risi18_aligned_t2(state, nbr, pos):
+    """Pallas-aligned neighbor tensor T [V, P, P, P, C] for the 10/50-case
+    banks (VERDICT r4 item 4): runs the v3 kernel's DMA + alignment
+    front-end only (``ablate=("noassemble",)`` + ``save_t2``) and exposes
+    T2all [V, (i p1), (c p2)] as a lazily-transposed T view that XLA fuses
+    into the consuming contraction.
+
+    Measured on-chip at V=256 P=16 C=32 f32 (bit-exact vs the take-gather
+    path): ver6 level 5.09 -> 4.04 ms (1.26x), ver7 10.35 -> 8.89 ms
+    (1.16x) — the XLA take-gather was the dominant fixed cost of the
+    unfused levels.  INFERENCE ONLY: the raw pallas_call has no VJP;
+    training keeps the take-gather path (XLA's native scatter adjoint).
+    """
+    V, P = nbr.shape
+    C = state.shape[-1]
+    dt = state.dtype
+    zero_K = jnp.zeros((18 * C, C), dt)
+    zero_b = jnp.zeros((C,), dt)
+    _, t2 = risi18_level_fused_v3_raw(
+        pack_state_cm(state), nbr, build_xsel(pos, dt), radj_dummy(V, P, dt),
+        zero_K, zero_b, save_t2=True, ablate=("noassemble",))
+    return t2.reshape(V, P, P, C, P).transpose(0, 1, 2, 4, 3)
+
+
+def radj_dummy(V, P, dt):
+    """Zero adjacency operand for alignment-only kernel runs."""
+    return jnp.zeros((V, P, P), dt)
+
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def risi18_level(state, nbr, pos, radj, K, b, negslope=0.01):
     """Differentiable fused level step: [V,P,P,C] state -> [V, P*P, Cout].
