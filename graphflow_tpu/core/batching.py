@@ -24,7 +24,7 @@ GraphBatch = Dict[str, Any]
 _STACK_FIELDS = (
     "wl_feat", "vmask", "sizes", "nbr", "pos", "radj", "smask",
     "norm_adj", "adj", "raw_feat", "sp", "dist",
-    "ell_nbr", "ell_w", "ell_nbr_a", "ell_w_a",
+    "ell_nbr", "ell_w", "ell_nbr_a", "ell_w_a", "fo_idx",
 )
 
 

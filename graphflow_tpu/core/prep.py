@@ -205,6 +205,12 @@ class PreparedGraph:
     ell_w: Optional[np.ndarray] = None      # [V, D] norm-adj weights
     ell_nbr_a: Optional[np.ndarray] = None  # [V, D] 0/1-adjacency variant
     ell_w_a: Optional[np.ndarray] = None    # [V, D]
+    # First-order sparse aggregation (smp1d at production V): per level,
+    # per (v, p) the flat (w*P + q) indices of the previous-level state
+    # rows that sum into sum_v[p] — i.e. {(w, q) : sp(v, w) <= 1 and
+    # phi_{l-1}(w)[q] == phi_l(v)[p]}, sentinel V*P.  Built only when
+    # ``prepare_graph(..., fo_degree=D)`` is given.
+    fo_idx: Optional[np.ndarray] = None     # [L, V, P, D] int32
 
 
 def prepare_graph(
@@ -218,6 +224,7 @@ def prepare_graph(
     use_wl_features: bool = True,
     dtype=np.float32,
     backend: str = "auto",
+    fo_degree: Optional[int] = None,
 ) -> PreparedGraph:
     """Run the full host pipeline for one graph.
 
@@ -233,7 +240,7 @@ def prepare_graph(
     available (bit-identical results, ~3x faster); "python" forces the
     NumPy reference implementation.
     """
-    if backend == "auto":
+    if backend == "auto" and fo_degree is None:
         try:
             from graphflow_tpu.runtime import native
             if native.available():
@@ -307,10 +314,31 @@ def prepare_graph(
     dist_pad = np.zeros((V, V), dtype=dtype)
     dist_pad[:n, :n] = graph.distance.astype(dtype)
 
+    fo_idx = None
+    if fo_degree is not None:
+        # First-order sparse aggregation indices (PreparedGraph.fo_idx):
+        # for each (l, v, p) the flat (w * P + q) rows of the previous
+        # level's [V, P, C] state that sum into sum_v[p].
+        fo_idx = np.full((L, V, P, fo_degree), V * P, dtype=np.int32)
+        for l in range(1, L + 1):
+            lookups = [
+                {u: q for q, u in enumerate(phi[l - 1][w])}
+                for w in range(n)]
+            for v in range(n):
+                nbrs = [w for w in range(n) if sp[v, w] <= 1]
+                for p, u in enumerate(phi[l][v]):
+                    slots = [w * P + lookups[w][u]
+                             for w in nbrs if u in lookups[w]]
+                    assert len(slots) <= fo_degree, (
+                        f"fo_degree={fo_degree} < closed degree "
+                        f"{len(slots)} at level {l} vertex {v}")
+                    fo_idx[l - 1, v, p, :len(slots)] = slots
+
     return PreparedGraph(
         wl_feat=wl_feat, vmask=vmask, sizes=sizes, nbr=nbr, pos=pos,
         radj=radj, smask=smask, nVertices=n,
         norm_adj=na, adj=adj_pad, sp=sp_pad, raw_feat=raw, dist=dist_pad,
+        fo_idx=fo_idx,
     )
 
 

@@ -135,6 +135,13 @@ def ell_spmm(nbr: jnp.ndarray, w: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     these shapes); scatter-based (sorted COO segment-sum) is ~10x worse.
     Note docs/KERNEL_NOTES.md "Tunnel session variance": absolute
     edges/s swings ~2x between sessions; rankings are stable.
+
+    Caveat (ADVICE r4): because sentinels are CLAMPED to a real row and
+    annihilated by w == 0, a non-finite value in ``h`` (inf/NaN from a
+    diverging run) leaks NaN into padded-slot outputs (0 * inf = NaN),
+    where the old [h; 0] concat formulation stayed finite.  Accepted for
+    the measured speedup — finite inputs are the contract; debug paths
+    that must survive non-finite states should concat a zero row instead.
     """
     V, H = h.shape
     D = nbr.shape[1]
