@@ -426,3 +426,19 @@ class NeuralFingerprint(GraphModel):
     def _loss(self, params, g, target):
         pred, _ = self._forward(params, g)
         return losses.squared_loss(pred, target)
+
+
+def gcn_inspect(model, graph) -> dict:
+    """Activation dump for debugging (ForDebugging-style, mirroring
+    ``smp2d.smp2d_inspect``): per-level hiddens and the final feature as
+    NumPy arrays restricted to real vertices."""
+    import numpy as np
+
+    batch = model._stack([graph])
+    g = jax.tree_util.tree_map(lambda x: x[0], batch)
+    states, final = gcn_states(model.params, g, model.cfg)
+    n = graph.nVertices
+    return {
+        "states": [np.asarray(s)[:n] for s in states],
+        "final_feature": np.asarray(final),
+    }

@@ -434,3 +434,22 @@ def Unrestricted_SMP_1D_ver2(max_nVertices, nLevels, nChanels, nFeatures,
         nLevels=nLevels, nChanels=nChanels, nFeatures=nFeatures,
         nDepth=nDepth, filter="unrestricted2", tower_alpha=0.0,
         optimizer="momentum"), seed)
+
+
+def smp1d_inspect(model, graph) -> dict:
+    """Activation dump for debugging (ForDebugging-style, mirroring
+    ``smp2d.smp2d_inspect``): per-level matrix states, vertex features and
+    the graph feature as NumPy arrays restricted to real vertices."""
+    import numpy as np
+
+    batch = model._stack([graph])
+    g = jax.tree_util.tree_map(lambda x: x[0], batch)
+    states = smp1d_states(model.params, g, model.cfg)
+    n = graph.nVertices
+    vertex = activations.leaky_relu(states[-1].sum(axis=1))
+    return {
+        "states": [np.asarray(s)[:n] for s in states],
+        "vertex_features": np.asarray(vertex)[:n],
+        "graph_feature": np.asarray(_graph_feature(states[-1],
+                                                   g["vmask"])),
+    }
