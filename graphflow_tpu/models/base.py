@@ -70,6 +70,12 @@ class GraphModel:
     # -- shared machinery ----------------------------------------------
 
     def _finish_init(self):
+        # Reference-exact per-element Adam beta_t schedule for the nBatch
+        # overload (Adam.h:108-136 advances beta_t once per scalar element
+        # in REGISTRATION order — see optim.adam): needs param_order.
+        if (self.param_order is not None
+                and self.opt.set_element_schedule is not None):
+            self.opt.set_element_schedule(self.params, self.param_order)
         self.opt_state = self.opt.init(self.params)
 
         def batch_loss(params, batch):

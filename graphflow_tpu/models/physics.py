@@ -81,6 +81,18 @@ class SMPPhysics(GraphModel):
             "W1": uniform_init(keys[1], (nHidden, nTotal), jnp.float32),
             "W2": uniform_init(keys[2], (nHidden,), jnp.float32),
         }
+        # Registration order (SMP_omega_physics.h:254-263).  The theta
+        # tower's per-size lambda/b interleave is approximated by whole
+        # arrays here (affects only the reference text-checkpoint layout
+        # and the per-element Adam beta_t offsets within a level block).
+        if order == 2:
+            per_level = ["K", "b"]
+        else:
+            per_level = ["lambda1", "lambda2", "b", "K"]
+        self.param_order = (["tower/H"]
+                            + [f"tower/levels/{l}/{k}"
+                               for l in range(nLevels) for k in per_level]
+                            + ["W1", "W2"])
         self._finish_init()
 
     def _prepare(self, graph: DenseGraph):

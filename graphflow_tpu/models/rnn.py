@@ -83,8 +83,11 @@ class _SequenceModel:
             # The reference wires LogLoss on top of the SOFTMAX node
             # (LSTM.h: logl = LogLoss(softmax, target); LogLoss.h re-runs a
             # max-subtracted softmax on its input) — the trained objective
-            # is a DOUBLE softmax.  Binary-pinned in test_model_parity3.
-            probs = jax.nn.softmax(logits, axis=-1)
+            # is a DOUBLE softmax, and the Softmax node backpropagates the
+            # reference's diagonal-only Jacobian (activations.softmax).
+            # Binary-pinned in test_model_parity3.
+            from graphflow_tpu.ops import activations
+            probs = activations.softmax(logits, axis=-1)
             logp = jax.nn.log_softmax(probs, axis=-1)
             return -jnp.take_along_axis(
                 logp, targets[:, None], axis=1).squeeze(1)  # [T]

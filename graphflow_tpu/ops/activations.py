@@ -40,8 +40,41 @@ def leaky_relu(x, alpha: float = 0.01):
     return jnp.where(x > 0, x, alpha * x)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def softmax(x, axis: int = -1):
-    """``Softmax.h`` / ``Softmax2D.h`` / ``Softmax3D.h``: max-subtracted softmax."""
+    """``Softmax.h`` / ``Softmax2D.h`` / ``Softmax3D.h``: max-subtracted
+    softmax — WITH the reference's backward.
+
+    ``Softmax::backward`` (``Softmax.h:57-61``) applies the DIAGONAL-only
+    Jacobian, dL/dx_i += g_i * y_i * (1 - y_i), as if softmax were an
+    elementwise sigmoid — the off-diagonal -y_i y_j terms are missing.
+    Every reference Softmax node therefore trains with these gradients;
+    reproducing them is what makes end-to-end training dynamics match
+    (caught by the round-5 dataset closure: with the true VJP, GCN_1D's
+    float64 loss curve forks from the reference geometrically from
+    iteration ~6 — DATASET_r05.json).  Use :func:`softmax_exact` for the
+    true gradient."""
+    return jax.nn.softmax(x, axis=axis)
+
+
+def _softmax_fwd(x, axis):
+    y = jax.nn.softmax(x, axis=axis)
+    return y, y
+
+
+def _softmax_bwd(axis, y, g):
+    return (g * y * (1.0 - y),)
+
+
+softmax.defvjp(_softmax_fwd, _softmax_bwd)
+
+
+def softmax_exact(x, axis: int = -1):
+    """Softmax with the TRUE Jacobian VJP (what the reference's backward
+    would be without its diagonal approximation)."""
     return jax.nn.softmax(x, axis=axis)
 
 

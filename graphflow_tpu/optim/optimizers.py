@@ -27,6 +27,29 @@ import jax.numpy as jnp
 class Optimizer(NamedTuple):
     init: Callable[[Any], Any]
     update: Callable[..., Any]  # (params, state, grads, lr, nBatch=None)
+    # adam only: install the per-ELEMENT beta_t schedule of the reference's
+    # nBatch overload (see adam()); called by GraphModel._finish_init with
+    # (params, param_order).
+    set_element_schedule: Optional[Callable[..., None]] = None
+
+
+def _lookup_path(params, path: str):
+    node = params
+    for k in path.split("/"):
+        node = node[int(k)] if isinstance(node, (list, tuple)) else node[k]
+    return node
+
+
+def _keypath_str(kp) -> str:
+    parts = []
+    for k in kp:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
 
 
 def _scale(grads, nBatch: Optional[int]):
@@ -66,7 +89,36 @@ def momentum(gamma: float = 0.9) -> Optimizer:
 
 def adam(beta1: float = 0.9, beta2: float = 0.999,
          epsilon: float = 1e-8) -> Optimizer:
-    """``Adam.h:77-106``: standard Adam with bias correction."""
+    """``Adam.h``: BOTH reference Learn overloads, selected by ``nBatch``.
+
+    * ``nBatch=None`` — ``Learn(alpha)`` (``Adam.h:77-106``): standard
+      Adam with per-STEP bias correction (beta_t advanced once per call).
+    * ``nBatch=k`` — ``Learn(alpha, nBatch)`` (``Adam.h:108-136``), used
+      by every reference BatchLearn: the reference advances beta1_t /
+      beta2_t once per scalar ELEMENT inside the update loop, so element
+      number e (0-based, in optimizer REGISTRATION order, counting across
+      steps) is bias-corrected by 1 - beta^(e+1).  For a model with N
+      registered scalars this means step s corrects element k by
+      1 - beta^((s-1) N + k + 1) — a per-element schedule that decays to
+      "no correction" but is MATERIAL through the first steps when N is
+      only a few thousand (beta2 = 0.999).  When the model installs the
+      schedule (``set_element_schedule``, wired by GraphModel via
+      param_order), it is reproduced exactly (pow instead of the
+      reference's running product: ~1e-13 relative); without it the
+      asymptotic no-correction form is used.
+    """
+    holder = {"offsets": None, "total": None}
+
+    def set_element_schedule(params, order):
+        import numpy as np
+        offs, total = {}, 0
+        for path in order:
+            leaf = np.asarray(_lookup_path(params, path))
+            n = int(leaf.size)
+            offs[path] = np.arange(total, total + n,
+                                   dtype=np.float32).reshape(leaf.shape)
+            total += n
+        holder["offsets"], holder["total"] = offs, total
 
     def init(params):
         z = jax.tree_util.tree_map(jnp.zeros_like, params)
@@ -80,16 +132,40 @@ def adam(beta1: float = 0.9, beta2: float = 0.999,
             lambda m, g: beta1 * m + (1 - beta1) * g, state["m"], grads)
         v = jax.tree_util.tree_map(
             lambda v, g: beta2 * v + (1 - beta2) * g * g, state["v"], grads)
-        c1 = 1 - beta1 ** t.astype(jnp.float32)
-        c2 = 1 - beta2 ** t.astype(jnp.float32)
 
-        def step(p, m, v):
-            return p - lr * (m / c1) / (jnp.sqrt(v / c2) + epsilon)
+        if nBatch is None:
+            c1 = 1 - beta1 ** t.astype(jnp.float32)
+            c2 = 1 - beta2 ** t.astype(jnp.float32)
 
-        new = jax.tree_util.tree_map(step, params, m, v)
+            def step(p, m, v):
+                return p - lr * (m / c1) / (jnp.sqrt(v / c2) + epsilon)
+
+            new = jax.tree_util.tree_map(step, params, m, v)
+        elif holder["offsets"] is None:
+            # No schedule installed: asymptotic form (correction absent).
+            def step(p, m, v):
+                return p - lr * m / (jnp.sqrt(v) + epsilon)
+
+            new = jax.tree_util.tree_map(step, params, m, v)
+        else:
+            N = holder["total"]
+            tt = t.astype(jnp.float32)
+
+            def step(kp, p, m, v):
+                off = holder["offsets"].get(_keypath_str(kp))
+                if off is None:   # unregistered leaf: asymptotic form
+                    return p - lr * m / (jnp.sqrt(v) + epsilon)
+                dt = p.dtype
+                expo = (jnp.asarray(off, jnp.float32) + 1.0
+                        + (tt - 1.0) * N)
+                c1 = (1.0 - beta1 ** expo).astype(dt)
+                c2 = (1.0 - beta2 ** expo).astype(dt)
+                return p - lr * (m / c1) / (jnp.sqrt(v / c2) + epsilon)
+
+            new = jax.tree_util.tree_map_with_path(step, params, m, v)
         return new, {"m": m, "v": v, "t": t}
 
-    return Optimizer(init, update)
+    return Optimizer(init, update, set_element_schedule)
 
 
 def adamax(beta1: float = 0.9, beta2: float = 0.999) -> Optimizer:

@@ -200,3 +200,54 @@ class TestOptimizers:
         p, _ = opt.update(params, opt.init(params), grads, 0.1)
         # first Adam step is ~ -lr * sign(g)
         np.testing.assert_allclose(np.asarray(p["w"]), [1.0 - 0.1], rtol=1e-4)
+
+
+def test_adam_nbatch_per_element_beta_schedule():
+    """The reference's Learn(alpha, nBatch) advances beta1_t/beta2_t once
+    per scalar ELEMENT (Adam.h:108-136).  With the element schedule
+    installed (as GraphModel does via param_order), our nBatch path must
+    match an element-loop transcription of the reference for several
+    steps."""
+    import numpy as np
+    import jax.numpy as jnp
+    from graphflow_tpu import optim
+
+    rng = np.random.default_rng(5)
+    shapes = {"a": (3, 4), "b": (7,), "c": (2, 2)}
+    order = ["a", "b", "c"]
+    params = {k: jnp.asarray(rng.normal(size=s), jnp.float32)
+              for k, s in shapes.items()}
+    opt = optim.adam()
+    opt.set_element_schedule(params, order)
+    state = opt.init(params)
+
+    # NumPy transcription of Adam.h:108-136 over the flat element order.
+    ref = {k: np.asarray(v, np.float64).copy() for k, v in params.items()}
+    m = {k: np.zeros(shapes[k]) for k in order}
+    v = {k: np.zeros(shapes[k]) for k in order}
+    beta1, beta2, eps, lr, nBatch = 0.9, 0.999, 1e-8, 0.05, 4
+    b1t = b2t = 1.0
+
+    p = params
+    for step in range(3):
+        grads = {k: rng.normal(size=shapes[k]) for k in order}
+        for k in order:
+            gk = grads[k].reshape(-1)
+            mk, vk, pk = (m[k].reshape(-1), v[k].reshape(-1),
+                          ref[k].reshape(-1))
+            for j in range(gk.size):
+                g = gk[j] / nBatch
+                mk[j] = beta1 * mk[j] + (1 - beta1) * g
+                vk[j] = beta2 * vk[j] + (1 - beta2) * g * g
+                b1t *= beta1
+                b2t *= beta2
+                m_hat = mk[j] / (1 - b1t)
+                v_hat = vk[j] / (1 - b2t)
+                pk[j] -= lr * m_hat / (np.sqrt(v_hat) + eps)
+        p, state = opt.update(
+            p, state, {k: jnp.asarray(grads[k], jnp.float32)
+                       for k in order}, lr, nBatch=nBatch)
+        for k in order:
+            np.testing.assert_allclose(np.asarray(p[k]), ref[k], rtol=2e-5,
+                                       atol=1e-6,
+                                       err_msg=f"step {step} leaf {k}")

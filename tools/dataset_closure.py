@@ -117,8 +117,10 @@ def closure_omega(cfgv, mols, targets, nTrain, nTest, iters, lr, seed):
         "omega", "/tmp/closure_omega",
         [nTrain, nTest, 8, 14, V, rf, L, C, nFeat, nDepth, iters, lr,
          seed, wfn])
+    f64_curve, f64_mae = run_ours_f64("omega")
     return dict(ours={"curve": curve, "train_seconds": round(secs, 3),
                       "test_mae": mae},
+                ours_f64_cpu={"curve": f64_curve, "test_mae": f64_mae},
                 reference={"curve": ref_curve, "train_seconds": ref_secs,
                            "test_mae": ref_mae})
 
@@ -152,10 +154,68 @@ def closure_gcn1d(cfgv, mols, targets, nTrain, nTest, iters, lr, seed):
         "gcn1d", "/tmp/closure_gcn1d",
         [nTrain, nTest, 8, 14, V, R, L, H, nFeat, nDepth, iters, lr,
          seed, wfn])
+    f64_curve, f64_mae = run_ours_f64("gcn1d")
     return dict(ours={"curve": curve, "train_seconds": round(secs, 3),
                       "test_mae": mae},
+                ours_f64_cpu={"curve": f64_curve, "test_mae": f64_mae},
                 reference={"curve": ref_curve, "train_seconds": ref_secs,
                            "test_mae": ref_mae})
+
+
+def run_f64_leg(kind):
+    """Subprocess mode: OUR framework in float64 on CPU, same data + the
+    SAME weights file the reference loads — the semantics leg.  If this
+    tracks the reference at ~1e-6, any f32-TPU gap is precision, not
+    semantics."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    import dataclasses
+
+    nTrain, nTest, iters, seed = 96, 32, 25, 424242
+    nFeat = 4
+    mols, targets = make_dataset(nTrain + nTest, 8, 14, nFeat, seed)
+    if kind == "omega":
+        from graphflow_tpu.models.smp2d import SMP2D, SMP2DConfig
+        cfg = SMP2DConfig(max_nVertices=14, max_receptive_field=8,
+                          nLevels=2, nChanels=12, nFeatures=4, nDepth=3,
+                          contraction=18, optimizer="adam",
+                          dtype="float64")
+        model = SMP2D(cfg, seed=0)
+        model.load_model("/tmp/closure_omega_w.txt")
+        lr = 2e-4
+    else:
+        from graphflow_tpu.models.gcn import GCN, GCNConfig
+        cfg = GCNConfig(nLevels=2, max_nVertices=14, nFeatures=4,
+                        nHiddens=12, nDepth=3, max_Radius=2, order=1,
+                        dtype="float64")
+        model = GCN(cfg, seed=0)
+        model.load_model("/tmp/closure_gcn1d_w.txt")
+        lr = 5e-4
+    train, ttrain = mols[:nTrain], targets[:nTrain]
+    for it in range(iters):
+        lb, la = model.BatchLearn(train, ttrain, lr)
+        print(f"iter {it} {lb!r} {la!r}", flush=True)
+    preds = [model.Predict(m) for m in mols[nTrain:]]
+    mae = float(np.mean(np.abs(np.array(preds) - targets[nTrain:])))
+    print(f"train_seconds 0")
+    print(f"test_mae {mae!r}")
+
+
+def run_ours_f64(kind):
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--f64", kind],
+        check=True, capture_output=True, text=True, timeout=7200).stdout
+    curve, mae = [], None
+    for line in out.splitlines():
+        t = line.split()
+        if not t:
+            continue
+        if t[0] == "iter":
+            curve.append([float(t[2]), float(t[3])])
+        elif t[0] == "test_mae":
+            mae = float(t[1])
+    return curve, mae
 
 
 def gap(section):
@@ -164,7 +224,19 @@ def gap(section):
     return abs(a - b) / max(abs(b), 1e-12)
 
 
+def semantic_gap(section):
+    """Max relative per-iteration gap of the f64-CPU leg vs the
+    reference — the semantics closure number."""
+    a = section["ours_f64_cpu"]["curve"]
+    b = section["reference"]["curve"]
+    return max(abs(x[1] - y[1]) / max(abs(y[1]), 1e-12)
+               for x, y in zip(a, b))
+
+
 def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--f64":
+        run_f64_leg(sys.argv[2])
+        return
     nTrain, nTest, iters, seed = 96, 32, 25, 424242
     nFeat = 4
 
@@ -172,24 +244,26 @@ def main():
 
     print("[closure] SMP_omega ...", flush=True)
     omega = closure_omega((14, 8, 2, 12, nFeat, 3), mols, targets,
-                          nTrain, nTest, iters, 1e-3, seed)
+                          nTrain, nTest, iters, 2e-4, seed)
     print(f"[closure] omega final: ours {omega['ours']['curve'][-1][1]:.3f} "
           f"ref {omega['reference']['curve'][-1][1]:.3f} "
-          f"(gap {100 * gap(omega):.2f}%)", flush=True)
+          f"(gap {100 * gap(omega):.2f}%; f64 semantic max-iter gap "
+          f"{100 * semantic_gap(omega):.4f}%)", flush=True)
 
     print("[closure] GCN_1D ...", flush=True)
     gcn = closure_gcn1d((14, 2, 2, 12, nFeat, 3), mols, targets,
-                        nTrain, nTest, iters, 2e-3, seed)
+                        nTrain, nTest, iters, 5e-4, seed)
     print(f"[closure] gcn1d final: ours {gcn['ours']['curve'][-1][1]:.3f} "
           f"ref {gcn['reference']['curve'][-1][1]:.3f} "
-          f"(gap {100 * gap(gcn):.2f}%)", flush=True)
+          f"(gap {100 * gap(gcn):.2f}%; f64 semantic max-iter gap "
+          f"{100 * semantic_gap(gcn):.4f}%)", flush=True)
 
     out = {
         "workload": {"nTrain": nTrain, "nTest": nTest, "n_range": [8, 14],
                      "iters": iters, "seed": seed,
-                     "omega": "V=14 rf=8 L=2 C=12 nDepth=3 Adam lr=1e-3",
+                     "omega": "V=14 rf=8 L=2 C=12 nDepth=3 Adam lr=2e-4",
                      "gcn1d": "V=14 R=2 L=2 H=12 nDepth=3 Momentum "
-                              "lr=2e-3"},
+                              "lr=5e-4"},
         "note": "identical molecules/targets/init weights both sides; "
                 "ours = float32 TPU, reference = float64 serial CPU "
                 "(tools/dataset_closure.cpp); tracking comparison, "
@@ -198,6 +272,9 @@ def main():
         "GCN_1D": gcn,
         "final_loss_gap_pct": {"SMP_omega": round(100 * gap(omega), 3),
                                "GCN_1D": round(100 * gap(gcn), 3)},
+        "semantic_max_iter_gap_pct_f64": {
+            "SMP_omega": round(100 * semantic_gap(omega), 5),
+            "GCN_1D": round(100 * semantic_gap(gcn), 5)},
     }
     path = os.path.join(REPO, "DATASET_r05.json")
     with open(path, "w") as f:
