@@ -70,7 +70,7 @@ def _chain_time(make_chain, args, chain_len, reps=5):
 #    numbers are comparable across rounds.
 # ----------------------------------------------------------------------
 
-def run_gather_calibration(V=8192, H=64, chain_len=65, reps=5):
+def run_gather_calibration(V=65536, H=64, chain_len=129, reps=5):
     """Flat row-gather GB/s on a fixed [V, H] f32 array.
 
     The ~2x cross-session speed swing CONCENTRATES in gather throughput
@@ -78,6 +78,11 @@ def run_gather_calibration(V=8192, H=64, chain_len=65, reps=5):
     variance analysis) — so gather-bound numbers (spmm_edges_per_s) are
     only comparable across rounds as a ratio to THIS calibration, not to
     the matmul one.
+
+    A per-link workload of 32 MB (read + write) keeps the chained-scan
+    delta well above tunnel RTT noise (an 8192x64 version measured 4 MB
+    links and the k-vs-1 delta collapsed into the noise floor).  The
+    scalar carry feeds the index so the links cannot be reordered.
     """
     import jax
     import jax.numpy as jnp
@@ -90,10 +95,11 @@ def run_gather_calibration(V=8192, H=64, chain_len=65, reps=5):
     def chain(k):
         @jax.jit
         def run_fn(x, idx):
-            def body(xx, _):
-                out = jnp.take(xx, idx, axis=0)
-                return out, out[0, 0]
-            _, zs = jax.lax.scan(body, x, None, length=k)
+            def body(c, _):
+                idx2 = idx + (c * 0).astype(jnp.int32)   # order dependency
+                out = jnp.take(x, idx2, axis=0)
+                return out[0, 0], out[1, 1]
+            _, zs = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
             return zs.sum()
         return run_fn
 

@@ -116,9 +116,13 @@ def test_partitioned_train_step_matches_single_device(setup):
     for (ka, a), (kb, b) in zip(
             jax.tree_util.tree_leaves_with_path(params_p),
             jax.tree_util.tree_leaves_with_path(params_s)):
-        # f32 psum reassociation noise passes through Adam's m/sqrt(v)
+        # f32 psum reassociation noise passes through Adam's m/sqrt(v);
+        # the reference-faithful nBatch Adam is UNCORRECTED (round 5), so
+        # first-step updates are ~3.16x larger and near-zero gradients
+        # amplify the noise further (the sharp partitioning-exactness gate
+        # is the loss equality above).
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-3, atol=1e-5, err_msg=str(ka))
+                                   rtol=3e-2, atol=2e-4, err_msg=str(ka))
 
 
 def test_partitioned_gradients_flow(setup):
