@@ -626,6 +626,16 @@ def _kernel_v3(nbr_ref,                           # scalar prefetch [V*P]
     out_ref[0] = Z.astype(out_ref.dtype)
 
 
+def _v3_compiler_params(P, C, Cout, dt):
+    """Mosaic's default scoped-VMEM stack limit is 16 MiB; the v3 kernel's
+    in-VMEM intermediates scale ~linearly with C and overflow it at C=128
+    (measured: 19.25M requested).  Raise the limit only for wide channels
+    so the tuned C<=64 configurations keep their default compilation."""
+    if C >= 128:
+        return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    return None
+
+
 def risi18_level_fused_v3_raw(state_cm, nbr, xsel, radj, K, b,
                               negslope=0.01, chunk=8, interpret=False,
                               precision=None, save_t2=False, ablate=()):
@@ -722,6 +732,7 @@ def risi18_level_fused_v3_raw(state_cm, nbr, xsel, radj, K, b,
         out, t2 = pl.pallas_call(
             kernel2,
             grid_spec=grid_spec,
+            compiler_params=_v3_compiler_params(P, C, Cout, dt),
             interpret=interpret,
             out_shape=[jax.ShapeDtypeStruct((V, N2, Cout), dt),
                        jax.ShapeDtypeStruct((V, N2, P * C), jnp.float32)],
@@ -739,6 +750,7 @@ def risi18_level_fused_v3_raw(state_cm, nbr, xsel, radj, K, b,
         interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((V, N2, Cout), dt),
         cost_estimate=cost,
+        compiler_params=_v3_compiler_params(P, C, Cout, dt),
     )(nbr.reshape(V * P), state_cm, xsel, radj, K137, KB, KC, KD,
       b.reshape(1, Cout), *const_args)
     return out
