@@ -320,19 +320,25 @@ def prepare_graph(
         # for each (l, v, p) the flat (w * P + q) rows of the previous
         # level's [V, P, C] state that sum into sum_v[p].
         fo_idx = np.full((L, V, P, fo_degree), V * P, dtype=np.int32)
+        closed = (graph.adj[:n, :n] > 0) | np.eye(n, dtype=bool)
         for l in range(1, L + 1):
-            lookups = [
-                {u: q for q, u in enumerate(phi[l - 1][w])}
-                for w in range(n)]
+            # POS[w, u] = position of vertex u inside phi_{l-1}(w), else -1.
+            POS = np.full((n, n), -1, dtype=np.int64)
+            for w in range(n):
+                POS[w, np.asarray(phi[l - 1][w], dtype=np.int64)] = (
+                    np.arange(len(phi[l - 1][w])))
             for v in range(n):
-                nbrs = [w for w in range(n) if sp[v, w] <= 1]
-                for p, u in enumerate(phi[l][v]):
-                    slots = [w * P + lookups[w][u]
-                             for w in nbrs if u in lookups[w]]
-                    assert len(slots) <= fo_degree, (
-                        f"fo_degree={fo_degree} < closed degree "
-                        f"{len(slots)} at level {l} vertex {v}")
-                    fo_idx[l - 1, v, p, :len(slots)] = slots
+                u_list = np.asarray(phi[l][v], dtype=np.int64)   # [s]
+                Wn = np.nonzero(closed[v])[0]                    # [deg]
+                Q = POS[np.ix_(Wn, u_list)]                      # [deg, s]
+                valid = Q >= 0
+                counts = valid.sum(axis=0)
+                assert counts.max(initial=0) <= fo_degree, (
+                    f"fo_degree={fo_degree} < closed degree "
+                    f"{int(counts.max())} at level {l} vertex {v}")
+                ii, jj = np.nonzero(valid)
+                ranks = valid.cumsum(axis=0)[ii, jj] - 1
+                fo_idx[l - 1, v, jj, ranks] = Wn[ii] * P + Q[ii, jj]
 
     return PreparedGraph(
         wl_feat=wl_feat, vmask=vmask, sizes=sizes, nbr=nbr, pos=pos,

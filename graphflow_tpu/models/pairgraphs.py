@@ -53,8 +53,14 @@ class PairGraphModel:
         # GraphModel._prep_cache).
         self._prep_cache = weakref.WeakKeyDictionary()
         self.dropout_nKept = None
+        self.param_order = None
 
     def _finish_init(self):
+        # Reference-exact per-element Adam beta_t schedule (see
+        # optim.adam / GraphModel._finish_init).
+        if (self.param_order is not None
+                and self.opt.set_element_schedule is not None):
+            self.opt.set_element_schedule(self.params, self.param_order)
         self.opt_state = self.opt.init(self.params)
 
         def batch_loss(params, batch):
@@ -125,10 +131,11 @@ class PairGraphModel:
         return float(np.asarray(pred)[0])
 
     def save_model(self, filename):
-        ckpt.save_text(filename, self.params, None)
+        ckpt.save_text(filename, self.params, self.param_order)
 
     def load_model(self, filename):
-        self.params = ckpt.load_text(filename, self.params, None)
+        self.params = ckpt.load_text(filename, self.params,
+                                     self.param_order)
         self.opt_state = self.opt.init(self.params)
 
 
@@ -198,6 +205,19 @@ class SMPPairGraphs(PairGraphModel):
             "W2": uniform_init(keys[3], (h2, h1), jnp.float32),
             "W3": uniform_init(keys[4], (h2,), jnp.float32),
         }
+        # Registration order (SMP_omega_pairgraphs.h:393-406).  The
+        # first-order towers' per-size lambda/b interleave is approximated
+        # by whole arrays (affects the text-checkpoint layout and the
+        # per-element Adam offsets within a level block only).
+        if order == 2:
+            per_level = ["K", "b"]
+        else:
+            per_level = ["lambda1", "lambda2", "b", "K"]
+        self.param_order = (
+            ["tower1/H", "tower2/H"]
+            + [f"tower{t}/levels/{l}/{k}" for l in range(nLevels)
+               for t in (1, 2) for k in per_level]
+            + ["W1", "W2", "W3"])
         self._finish_init()
 
     def _prepare_cfg(self, graph, cfg):
@@ -345,6 +365,13 @@ class GCNKernel(PairGraphModel):
             "tower": tower,
             "W": uniform_init(keys[1], (2 * nHiddens,), jnp.float32),
         }
+        # Registration order (GCN_1D_Kernel.h:120-128).
+        order_list = []
+        for l in range(nLevels + 1):
+            order_list.append(f"tower/levels/{l}/W1")
+            if l > 0:
+                order_list.append(f"tower/levels/{l}/W2")
+        self.param_order = order_list + ["W"]
         self._finish_init()
 
     def _prepare_1(self, graph):
