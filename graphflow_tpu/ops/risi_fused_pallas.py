@@ -961,6 +961,7 @@ def risi18_level_v3t_bwd_raw(t2, xsel, radj, K, geff, chunk=8,
         kernel,
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=_v3_compiler_params(P, C, Cout, jnp.float32),
         out_shape=[jax.ShapeDtypeStruct((V * P, P + 1, (P + 1) * C),
                                         jnp.float32),
                    jax.ShapeDtypeStruct((18 * C, Cout), jnp.float32)],
