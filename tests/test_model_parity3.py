@@ -1016,3 +1016,145 @@ def test_sigma_pairgraphs_test_mode_matches_reference_binary(
     pred = float(h2 @ np.asarray(params["W3"]))
     np.testing.assert_allclose(pred, take(1)[0], rtol=1e-9)
     done()
+
+
+# ----------------------------------------------------------------------
+# GRADIENT parity: reference graph->backward() vs our jax.grad
+# ----------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_lcnn_gradients_match_reference_binary(tmp_path):
+    """graph->backward() parameter gradients vs jax.grad of the same loss
+    (pins Conv1D/ShuffleMatrix/LeakyReLU/MatVecMul backwards and the
+    dead-secondReLU wiring)."""
+    from graphflow_tpu.models.lcnn import LCNN
+
+    n, V, K, C1, C2, nDense, seed = 6, 6, 3, 5, 4, 6, 7001
+    nFeat, nDepth = 4, 3
+    model = LCNN(V, nFeat, K, nDepth, C1, C2, nDense, seed=0)
+    params = _cast64(model.params)
+    mol = build_molecule(n, nFeat, seed)
+    fn = str(tmp_path / "w.txt")
+    _write_weights(fn, [params[k] for k in model.param_order])
+
+    take, done = _tokens("lcnn", [n, V, K, nDepth, C1, C2, nDense, nFeat,
+                                  seed, fn, "grad"])
+    # skip the forward dumps
+    take(V * K + 2 * V * C1 + V * C2 + nDense + 1)
+
+    batch = model._stack([mol])
+    g = jax.tree_util.tree_map(
+        lambda x: x[0].astype(np.float64)
+        if np.issubdtype(np.asarray(x).dtype, np.floating) else x[0], batch)
+
+    def loss(p):
+        pred, _ = model._forward(p, g)
+        return 0.5 * (pred - 3.5) ** 2
+
+    grads = jax.grad(loss)(params)
+    for k in model.param_order:
+        ref = take(int(np.asarray(params[k]).size)).reshape(
+            np.asarray(params[k]).shape)
+        np.testing.assert_allclose(np.asarray(grads[k]), ref, rtol=1e-8,
+                                   atol=1e-10, err_msg=f"grad {k}")
+    done()
+
+
+@pytest.mark.slow
+def test_gca1d_gradients_match_reference_binary(tmp_path):
+    """Pins the LinearGram and (diagonal) Softmax backwards through the
+    autoencoder loss."""
+    from graphflow_tpu.models.gca import GCA_1D
+    from graphflow_tpu.ops import activations
+
+    n, V, L, H, R, seed = 6, 6, 2, 5, 1, 8001
+    nFeat, nDepth = 4, 3
+    model = GCA_1D(L, V, nFeat, H, nDepth, R, seed=0)
+    params = _cast64(model.params)
+    mol = build_molecule(n, nFeat, seed)
+    fn = str(tmp_path / "w.txt")
+    _write_weights(fn, [params["levels"][l][k]
+                        for l in range(L + 1)
+                        for k in (("W1",) if l == 0 else ("W1", "W2"))])
+
+    take, done = _tokens("gca1d", [n, V, L, H, nFeat, nDepth, R, seed, fn,
+                                   "grad"])
+    take((L + 1) * n * H + n * n + 1)      # skip forward dumps
+
+    batch = model._stack([mol], [0.0])
+    g = jax.tree_util.tree_map(
+        lambda x: x[0].astype(np.float64)
+        if np.issubdtype(np.asarray(x).dtype, np.floating) else x[0], batch)
+
+    def loss(p):
+        return model._loss(p, g, jnp.float64(0.0))
+
+    grads = jax.grad(loss)(params)
+    for l in range(L + 1):
+        for k in (("W1",) if l == 0 else ("W1", "W2")):
+            got = np.asarray(grads["levels"][l][k])
+            ref = take(got.size).reshape(got.shape)
+            np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10,
+                                       err_msg=f"grad level {l} {k}")
+    done()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind,F,H,C,T,seed", [
+    ("lstm", 3, 5, 4, 6, 9201),
+    ("gru", 3, 5, 4, 6, 9203),
+])
+def test_rnn_gradients_match_reference_binary(tmp_path, kind, F, H, C, T,
+                                              seed):
+    """Pins the LSTM/GRU cell backwards, the cumulative AverageVectors
+    backward, the LogLoss gradient and the diagonal Softmax backward in
+    one stroke."""
+    from graphflow_tpu.models.rnn import LSTM, GRU, _lstm_cell, _gru_cell
+    from graphflow_tpu.ops import activations
+
+    model = (LSTM if kind == "lstm" else GRU)(F, H, C, T, seed=0)
+    params = _cast64(model.params)
+    xs, ts = _rnn_sequence(F, C, T, seed)
+
+    order = (["Wi", "Ui", "bi", "Wc", "Uc", "bc", "Wf", "Uf", "bf",
+              "Wo", "Uo", "Vo", "bo", "theta"] if kind == "lstm" else
+             ["W_z", "U_z", "b_z", "W_r", "U_r", "b_r", "W_h", "U_h",
+              "b_h", "theta"])
+    fn = str(tmp_path / "w.txt")
+    _write_weights(fn, [params[k] for k in order])
+
+    take, done = _tokens(kind, [F, H, C, T, seed, fn, "grad"])
+    take(T * (2 * H + C) + 1)              # skip forward dumps
+
+    xs64 = jnp.asarray(xs, jnp.float64)
+
+    def loss(p):
+        if kind == "lstm":
+            carry = (jnp.zeros((H,), jnp.float64),
+                     jnp.zeros((H,), jnp.float64))
+            hs = []
+            for t in range(T):
+                carry, h = _lstm_cell(p, carry, xs64[t])
+                hs.append(h)
+        else:
+            h = jnp.zeros((H,), jnp.float64)
+            hs = []
+            for t in range(T):
+                h, _ = _gru_cell(p, h, xs64[t])
+                hs.append(h)
+        hs = jnp.stack(hs)
+        pooled = jnp.cumsum(hs, axis=0) / jnp.arange(
+            1, T + 1, dtype=jnp.float64)[:, None]
+        logits = pooled @ p["theta"].T
+        probs = activations.softmax(logits, axis=-1)
+        logp = jax.nn.log_softmax(probs, axis=-1)
+        tsel = jnp.asarray(ts)[:, None]
+        return -jnp.take_along_axis(logp, tsel, axis=1).sum()
+
+    grads = jax.grad(loss)(params)
+    for k in order:
+        got = np.asarray(grads[k])
+        ref = take(got.size).reshape(got.shape)
+        np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10,
+                                   err_msg=f"grad {k}")
+    done()

@@ -149,6 +149,11 @@ static void dump(Vector *v) {
     printf("\n");
 }
 
+static void dump_grad(Vector *v) {
+    for (int i = 0; i < v->size; ++i) printf("%.17g ", v->gradient[i]);
+    printf("\n");
+}
+
 int main(int argc, char **argv) {
     if (argc < 2) { fprintf(stderr, "usage: see header\n"); return 1; }
     const char *kind = argv[1];
@@ -296,6 +301,7 @@ int main(int argc, char **argv) {
         LCNN *model = new LCNN(V, nFeat, K, nDepth, C1, C2, nDense, 0.9);
         model->load_model(weights);
         model->complete_computation_graph(mol);
+        model->target->value[0] = 3.5;
         model->graph->forward();
         dump(model->sequence);
         dump(model->firstConv);
@@ -303,6 +309,14 @@ int main(int argc, char **argv) {
         dump(model->secondConv);
         dump(model->denseLayer);
         printf("%.17g\n", model->predict->value[0]);
+        if (argc > 12 && !strcmp(argv[12], "grad")) {
+            // GRADIENT PARITY: d(0.5 (predict - 3.5)^2) / d(params), in
+            // registration order (firstFilter, firstBias, secondFilter,
+            // secondBias, denseWeight, W).
+            model->graph->backward();
+            for (size_t i = 0; i < model->sgd->params.size(); ++i)
+                dump_grad(model->sgd->params[i]);
+        }
     }
 #elif defined(PARITY_KIND_GCA1D)
     // gca1d n V L H nFeat nDepth R seed w.txt
@@ -325,6 +339,11 @@ int main(int argc, char **argv) {
                 dump(model->level[l]->hidden[v]);
         dump(model->predict);
         printf("%.17g\n", model->sql->getLoss());
+        if (argc > 11 && !strcmp(argv[11], "grad")) {
+            model->graph->backward();
+            for (size_t i = 0; i < model->sgd->params.size(); ++i)
+                dump_grad(model->sgd->params[i]);
+        }
     }
 #elif defined(GCND_MODEL)
     // gcn1dd|gcn2dd|gcn3dd n V L H nFeat nDepth R seed w.txt
@@ -511,6 +530,11 @@ int main(int argc, char **argv) {
             dump(model->level[l]->softmax);
         }
         printf("%.17g\n", model->getLoss(T));
+        if (argc > 8 && !strcmp(argv[8], "grad")) {
+            model->graph->backward();
+            for (size_t i = 0; i < model->sgd->params.size(); ++i)
+                dump_grad(model->sgd->params[i]);
+        }
     }
 #endif
     else {
