@@ -34,7 +34,8 @@ KINDS = {"ccn1d": "CCN1D", "smp2dver2": "SMP2DVER2",
          "usmp1dver2": "USMP1DVER2", "lcnn": "LCNN", "gca1d": "GCA1D", "omegaphys": "OMEGAPHYS",
          "thetaphys": "THETAPHYS", "gcn1dd": "GCN1DD",
          "gcn2dd": "GCN2DD", "gcn3dd": "GCN3DD",
-         "lstm": "LSTM", "gru": "GRU2", "sigmapair": "SIGMAPAIR"}
+         "lstm": "LSTM", "gru": "GRU2", "sigmapair": "SIGMAPAIR",
+         "omegagrad": "OMEGAGRAD"}
 
 
 def _bin(kind):
@@ -1157,4 +1158,58 @@ def test_rnn_gradients_match_reference_binary(tmp_path, kind, F, H, C, T,
         ref = take(got.size).reshape(got.shape)
         np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10,
                                    err_msg=f"grad {k}")
+    done()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n,V,rf,L,C,seed", [
+    (5, 5, 4, 2, 4, 12001),
+    (6, 7, 3, 2, 4, 12002),   # padded + capped
+])
+def test_smp_omega_gradients_match_reference_binary(tmp_path, n, V, rf, L,
+                                                    C, seed):
+    """FLAGSHIP gradient parity: graph->backward() vs jax.grad through the
+    full SMP_omega — pins the RisiContraction_18 backward (incl. the
+    adj>0 guard's gradient), the permutation-gather adjoint, the WL
+    feature path and the head in one stroke."""
+    from graphflow_tpu.models.smp2d import (SMP2DConfig, init_smp2d_params,
+                                            smp2d_forward)
+    from graphflow_tpu.ops import losses
+    import dataclasses
+
+    nFeat, nDepth, target = 4, 3, 3.5
+    cfg = SMP2DConfig(max_nVertices=V, max_receptive_field=rf, nLevels=L,
+                      nChanels=C, nFeatures=nFeat, nDepth=nDepth,
+                      dtype="float64")
+    params = _cast64(init_smp2d_params(jax.random.PRNGKey(0), cfg))
+    mol = build_molecule(n, nFeat, seed)
+
+    fn = str(tmp_path / "w.txt")
+    arrays = [params["H"]]
+    for l in range(L):
+        arrays += [params["levels"][l]["K"], params["levels"][l]["b"]]
+    arrays.append(params["W"])
+    _write_weights(fn, arrays)
+
+    take, done = _tokens("omegagrad", [n, V, rf, L, C, nFeat, nDepth,
+                                       target, seed, fn])
+    pg = prep.prepare_graph(mol, L, V, rf, nDepth, dtype=np.float64)
+    g = _g64(pg)
+
+    def loss(p):
+        pred, _ = smp2d_forward(p, g, cfg)
+        return losses.squared_loss(pred, jnp.float64(target))
+
+    pred, _ = smp2d_forward(params, g, cfg)
+    np.testing.assert_allclose(float(pred), take(1)[0], rtol=1e-9)
+    grads = jax.grad(loss)(params)
+    flat = ([("H", grads["H"])]
+            + [(f"levels/{l}/{k}", grads["levels"][l][k])
+               for l in range(L) for k in ("K", "b")]
+            + [("W", grads["W"])])
+    for name, got in flat:
+        got = np.asarray(got)
+        ref = take(got.size).reshape(got.shape)
+        np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10,
+                                   err_msg=f"grad {name}")
     done()

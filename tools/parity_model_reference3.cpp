@@ -72,6 +72,8 @@
 #elif defined(PARITY_KIND_GCN3DD)
 #include "GraphFlow/GCN_3D_Distance.h"
 #define GCND_MODEL GCN_3D_Distance
+#elif defined(PARITY_KIND_OMEGAGRAD)
+#include "GraphFlow/SMP_omega.h"
 #elif defined(PARITY_KIND_OMEGAPHYS)
 #include "GraphFlow/SMP_omega_physics.h"
 #elif defined(PARITY_KIND_THETAPHYS)
@@ -373,6 +375,29 @@ int main(int argc, char **argv) {
         dump(model->final_vertex);
         dump(model->final_distance);
         printf("%.17g\n", model->predict->value[0]);
+    }
+#elif defined(PARITY_KIND_OMEGAGRAD)
+    // omegagrad n V rf L C nFeat nDepth target seed w.txt
+    // Output: predict; then d(0.5 (predict - target)^2)/d(params) in
+    // registration order (H; per level K, b; W).
+    if (!strcmp(kind, "omegagrad")) {
+        int n = atoi(argv[2]), V = atoi(argv[3]), rf = atoi(argv[4]);
+        int L = atoi(argv[5]), C = atoi(argv[6]), nFeat = atoi(argv[7]);
+        int nDepth = atoi(argv[8]);
+        double target = atof(argv[9]);
+        unsigned long long seed = (unsigned long long)atoll(argv[10]);
+        const char *weights = argv[11];
+        DenseGraph *mol = make_molecule(n, nFeat, seed);
+        printf("# kind omegagrad n %d V %d L %d C %d\n", n, V, L, C);
+        SMP_omega *model = new SMP_omega(V, rf, L, C, nFeat, nDepth);
+        model->load_model(weights);
+        model->complete_computation_graph(mol);
+        model->target->value[0] = target;
+        model->graph->forward();
+        printf("%.17g\n", model->predict->value[0]);
+        model->graph->backward();
+        for (size_t i = 0; i < model->sgd->params.size(); ++i)
+            dump_grad(model->sgd->params[i]);
     }
 #elif defined(PARITY_KIND_OMEGAPHYS)
     // omegaphys n V rf L C nFeat use_coulomb seed w.txt
