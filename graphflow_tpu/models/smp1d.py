@@ -84,6 +84,10 @@ class SMP1DConfig:
     # (VERDICT r4 item 8).  Bit-exact: each output element is the same
     # exact sum, accumulated in f32 either way.
     sparse_max_degree: Optional[int] = None
+    # Reproduce the reference's SHARED-NODE lambda gradients (prefix-sum
+    # overcounting over same-size vertices — see
+    # activations.persize_gather_refgrad); False = true gradients.
+    faithful_lambda_grads: bool = True
     nClasses: Optional[int] = None
     optimizer: str = "adam"
     dtype: str = "float32"
@@ -227,20 +231,29 @@ def smp1d_states(params, g, cfg: SMP1DConfig):
 
         s = g["sizes"][l + 1]                                  # [V]
         b = lev["b"][s]                                        # [V, C]
+        if "lambda1" in lev:
+            if cfg.faithful_lambda_grads:
+                # lambda -> W_eye [-> W_flat -> W] shared-node chain depth
+                # (SMP_1D.h:495-505 vs SMP_theta.h:597-601).
+                depth = {"theta": 1, "steerable": 3, "concat": 1,
+                         "concat_kk": 1}[cfg.filter]
+                l1 = activations.persize_gather_refgrad(
+                    lev["lambda1"], s, depth)
+                l2 = activations.persize_gather_refgrad(
+                    lev["lambda2"], s, depth)
+            else:
+                l1, l2 = lev["lambda1"][s], lev["lambda2"][s]
         colsum = sum_v.sum(axis=1)                             # [V, C_prev]
         ones_sum = rm[:, :, None] * colsum[:, None, :]         # (1_s @ sum)
 
         if cfg.filter == "theta":
-            l1, l2 = lev["lambda1"][s], lev["lambda2"][s]      # [V]
             a1 = l1[:, None, None] * sum_v
             a2 = l2[:, None, None] * ones_sum
             z = jnp.concatenate([a1, a2], axis=-1) @ lev["K"]
         elif cfg.filter == "steerable":
-            l1, l2 = lev["lambda1"][s], lev["lambda2"][s]
             z = l1[:, None, None] * sum_v + l2[:, None, None] * ones_sum
         elif cfg.filter == "concat":
             # SMP_1D_ver2.h:521-529: channel-growing concat, no reducer.
-            l1, l2 = lev["lambda1"][s], lev["lambda2"][s]
             z = jnp.concatenate([l1[:, None, None] * sum_v,
                                  l2[:, None, None] * ones_sum], axis=-1)
         elif cfg.filter == "concat_kk":

@@ -98,6 +98,10 @@ class SMP2DSteerableConfig:
     # tests/test_model_parity3.py.  True (default) reproduces the executed
     # behavior; False computes the declared spec.
     engine_faithful: bool = True
+    # Reproduce the reference's SHARED-NODE lambda gradients (prefix-sum
+    # overcounting over same-size vertices — see
+    # activations.persize_gather_refgrad); False = true gradients.
+    faithful_lambda_grads: bool = True
     nClasses: Optional[int] = None
     optimizer: str = "momentum"
     momentum_param: float = 0.9
@@ -344,6 +348,19 @@ def steerable_states(params, g, cfg: SMP2DSteerableConfig,
         rm = g["smask"][l + 1][:, :, 0]                        # [V, Pp]
         vid_cur = jnp.where(rm > 0, g["nbr"][l].astype(jnp.int32), V)
         s = g["sizes"][l + 1]
+        if "lambda1" in lev:
+            if cfg.faithful_lambda_grads:
+                # lambda -> W_eye [-> W] shared-node chain depth
+                # (SMP_2D.h:556-570 depth 2, SMP_2D_ver2.h:577-585 depth
+                # 2, ver4/ver5 depth 1).
+                depth = {"steerable": 2, "matrix": 2, "concat": 1,
+                         "concat_k": 1}[cfg.filter]
+                lam1 = activations.persize_gather_refgrad(
+                    lev["lambda1"], s, depth)
+                lam2 = activations.persize_gather_refgrad(
+                    lev["lambda2"], s, depth)
+            else:
+                lam1, lam2 = lev["lambda1"][s], lev["lambda2"][s]
 
         # Rematerialized: the backward recomputes the quadratic sum instead
         # of holding its O(V^3 C) intermediates as residuals.
@@ -363,23 +380,23 @@ def steerable_states(params, g, cfg: SMP2DSteerableConfig,
         ones_q = rm[:, :, None, None] * colsum[:, None, :, :]  # [V,Pp,Pp,Cp]
 
         if cfg.filter == "steerable":
-            l1, l2 = lev["lambda1"][s], lev["lambda2"][s]      # [V, C]
+            l1, l2 = lam1, lam2                                # [V, C]
             z = (l1[:, None, None, :] * q + l2[:, None, None, :] * ones_q)
         elif cfg.filter == "concat":
             # ver4 (SMP_2D_ver4.h:166-180): vector-lambda branches
             # concatenated, channels double, no reducer.
-            l1, l2 = lev["lambda1"][s], lev["lambda2"][s]      # [V, C_prev]
+            l1, l2 = lam1, lam2                                # [V, C_prev]
             z = jnp.concatenate(
                 [l1[:, None, None, :] * q, l2[:, None, None, :] * ones_q],
                 axis=-1)                                       # [V,Pp,Pp,2Cp]
         elif cfg.filter == "concat_k":
-            l1, l2 = lev["lambda1"][s], lev["lambda2"][s]
+            l1, l2 = lam1, lam2
             cat = jnp.concatenate(
                 [l1[:, None, None, :] * q, l2[:, None, None, :] * ones_q],
                 axis=-1)                                       # [V,Pp,Pp,2C]
             z = jnp.einsum("kw,vxyw->vxyk", lev["K"], cat)     # K(2C->C)
         elif cfg.filter == "matrix":
-            L1, L2 = lev["lambda1"][s], lev["lambda2"][s]      # [V, Cp, Cp]
+            L1, L2 = lam1, lam2                                # [V, Cp, Cp]
             if cfg.engine_faithful:
                 # What the ver2/ver3 binaries actually execute (the
                 # TENSORMUL cast — see engine_faithful).

@@ -104,3 +104,61 @@ def norm3d(x, eps_free: bool = True):
     mx = jax.lax.stop_gradient(jnp.max(x, axis=(0, 1), keepdims=True))
     rng = jnp.where(mn < mx, mx - mn, 1.0)
     return (x - mn) / rng
+
+
+def persize_gather_refgrad(table, s, depth: int, valid=None):
+    """Per-size parameter gather with the reference's SHARED-NODE backward.
+
+    The reference wires ONE filter node per receptive-field size
+    (``W_eye[size] = ScalarMatMul(lambda[size], eye)`` etc.) but re-adds
+    it to the topology once per VERTEX; ``GraphFlow::backward`` therefore
+    runs the shared node's backward at every occurrence over its
+    accumulating gradient buffer, so vertex v's contribution to
+    d lambda[s_v] is weighted by the number of chains through the shared
+    prefix: w = C(r + depth - 1, depth), where r = #{u <= v : s_u = s_v}
+    (vertex order) and ``depth`` = number of shared nodes on the
+    lambda -> consumer path (SMP_theta/CCN/ver4/ver5: 1; SMP_2D/ver2/ver3:
+    2 — e.g. lambda -> W_eye -> W(SumTensor3D/Tensor4DConcat); SMP_1D: 3 —
+    lambda -> W_eye -> W_flat(Add) -> W(Reshape2D)).
+
+    Forward value is the plain gather (forward parity is unaffected);
+    only the cotangent scatter carries the weights.  Discovered via the
+    round-5 gradient-parity harness (tools/parity_model_reference3.cpp
+    "grad" mode); the true-gradient form is ``table[s]``.
+    """
+    V = s.shape[0]
+    same = (s[:, None] == s[None, :])
+    if valid is not None:
+        same = same & (valid[None, :] > 0)
+    tril = jnp.tril(jnp.ones((V, V), bool))
+    r = (same & tril).sum(axis=1).astype(jnp.float32)
+    w = r
+    for k in range(1, depth):
+        w = w * (r + k) / (k + 1)
+    return _persize_gather(table, s, w)
+
+
+@jax.custom_vjp
+def _persize_gather(tbl, s, w):
+    return tbl[s]
+
+
+def _persize_gather_fwd(tbl, s, w):
+    # residuals must be JAX types: keep a zero-strided view of the table
+    # for shape/dtype instead of raw metadata
+    return tbl[s], (jnp.zeros_like(tbl), s, w)
+
+
+def _persize_gather_bwd(res, g):
+    import numpy as _np
+    from jax import dtypes as _dtypes
+
+    ztbl, s, w = res
+    wex = w.reshape(w.shape + (1,) * (g.ndim - 1)).astype(g.dtype)
+    dtbl = ztbl + jnp.zeros_like(ztbl).at[s].add(
+        (wex * g).astype(ztbl.dtype))
+    return (dtbl, _np.zeros(s.shape, _dtypes.float0),
+            jnp.zeros_like(w))
+
+
+_persize_gather.defvjp(_persize_gather_fwd, _persize_gather_bwd)

@@ -254,6 +254,16 @@ int main(int argc, char **argv) {
         }
         dump(model->graph_feature);
         printf("%.17g\n", model->predict->value[0]);
+        if (argc > 11 && !strcmp(argv[11], "grad")) {
+            // GRADIENT PARITY through the as-executed backward chain
+            // (incl. TensorMul::backward on the reinterpreted 4-D filter
+            // for ver2/ver3): d(0.5 (predict - 3.5)^2) / d(params).
+            model->target->value[0] = 3.5;
+            model->graph->forward();
+            model->graph->backward();
+            for (size_t i = 0; i < model->sgd->params.size(); ++i)
+                dump_grad(model->sgd->params[i]);
+        }
     }
 #elif defined(SMP1DX_MODEL)
     // smp1d|smp1dver2|smp1dver3|usmp1d|usmp1dver2
