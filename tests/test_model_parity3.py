@@ -1315,3 +1315,82 @@ def test_steerable_gradients_match_reference_binary(tmp_path, kind, filt,
     np.testing.assert_allclose(gotW, take(gotW.size).reshape(gotW.shape),
                                rtol=rtol, atol=1e-10, err_msg="grad W")
     done()
+
+
+@pytest.mark.slow
+def test_ccn1d_gradients_match_reference_binary(tmp_path):
+    """Capstone gradient parity: the two-tower CCN_1D loss end-to-end —
+    pins the pairgraph head backward, both theta towers' gradients incl.
+    the shared-node lambda weighting (depth 1) and the L1-normalized
+    feature path."""
+    from graphflow_tpu.models.pairgraphs import CCN_1D
+    from graphflow_tpu.ops import losses
+
+    n1, n2, V1, V2, rf, L, C, decay, seed = 5, 6, 5, 6, 4, 2, 16, 1.0, 505
+    nF1 = nF2 = 4
+    model = CCN_1D(V1, V2, rf, L, C, nF1, nF2, nChanels_decay=decay, seed=0)
+    params = _cast64(model.params)
+    mol1 = build_multihot_molecule(n1, nF1, seed)
+    mol2 = build_multihot_molecule(n2, nF2, seed + 1000)
+
+    fn = str(tmp_path / "w.txt")
+    arrays = [params["tower1"]["H"], params["tower2"]["H"]]
+    for l in range(L):
+        for tower, V in (("tower1", V1), ("tower2", V2)):
+            lev = params[tower]["levels"][l]
+            for s in range(1, V + 1):
+                arrays += [lev["lambda1"][s:s + 1], lev["lambda2"][s:s + 1],
+                           lev["b"][s]]
+            arrays.append(lev["K"])
+    arrays += [params["W1"], params["W2"], params["W3"]]
+    _write_weights(fn, arrays)
+
+    take, done = _tokens("ccn1d", [n1, n2, V1, V2, rf, L, C, nF1, nF2,
+                                   decay, seed, fn, "grad"])
+    # skip the forward dumps
+    sched = model.cfg1.channel_schedule
+    pg1 = prep.prepare_graph(mol1, L, V1, rf, 0, has_WL_ordering=False,
+                             use_wl_features=False, dtype=np.float64)
+    pg2 = prep.prepare_graph(mol2, L, V2, rf, 0, has_WL_ordering=False,
+                             use_wl_features=False, dtype=np.float64)
+    s1, s2 = np.asarray(pg1.sizes), np.asarray(pg2.sizes)
+    n_fwd = 0
+    for l in range(L + 1):
+        Cl = sched[l]
+        for v in range(n1):
+            n_fwd += 1 + (int(s1[l, v]) if l else 1) * Cl
+        for v in range(n2):
+            n_fwd += 1 + (int(s2[l, v]) if l else 1) * Cl
+    nTotal = 2 * sum(sched)
+    n_fwd += 2 * sum(sched) + nTotal + sum(model.head_dims) + 1
+    take(n_fwd)
+
+    b1 = _g64(pg1)
+    b2 = _g64(pg2)
+
+    def loss(p):
+        pred = model._forward(p, b1, b2)
+        return losses.squared_loss(pred, jnp.float64(3.5))
+
+    grads = jax.grad(loss)(params)
+    named = [("tower1/H", grads["tower1"]["H"]),
+             ("tower2/H", grads["tower2"]["H"])]
+    for l in range(L):
+        for tower, V in (("tower1", V1), ("tower2", V2)):
+            lev = grads[tower]["levels"][l]
+            for s in range(1, V + 1):
+                named += [(f"{tower}/l{l}/lambda1[{s}]",
+                           lev["lambda1"][s:s + 1]),
+                          (f"{tower}/l{l}/lambda2[{s}]",
+                           lev["lambda2"][s:s + 1]),
+                          (f"{tower}/l{l}/b[{s}]", lev["b"][s])]
+            named.append((f"{tower}/l{l}/K", lev["K"]))
+    named += [("W1", grads["W1"]), ("W2", grads["W2"]),
+              ("W3", grads["W3"])]
+    for name, got in named:
+        got = np.asarray(got)
+        ref = take(got.size).reshape(got.shape)
+        np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10,
+                                   err_msg=f"grad {name}")
+    done()
+

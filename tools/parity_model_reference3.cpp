@@ -211,6 +211,13 @@ int main(int argc, char **argv) {
         dump(model->hidden_relu_1);
         dump(model->hidden_relu_2);
         printf("%.17g\n", model->predict->value[0]);
+        if (argc > 14 && !strcmp(argv[14], "grad")) {
+            model->target->value[0] = 3.5;
+            model->graph->forward();
+            model->graph->backward();
+            for (size_t i = 0; i < model->sgd->params.size(); ++i)
+                dump_grad(model->sgd->params[i]);
+        }
     }
 #elif defined(SMP2DX_MODEL)
     // smp2dver2|smp2dver3|smp2dver5 n V L C nFeat nDepth hasWL seed w.txt
