@@ -260,7 +260,6 @@ def smp1d_states(params, g, cfg: SMP1DConfig):
             # SMP_1D_ver3.h:542-549: each branch channel-mixed by K before
             # the concat (filtered = affine @ K_eye, filtered2 = affine2 @
             # K_one).
-            l1, l2 = lev["lambda1"][s], lev["lambda2"][s]
             a1 = (l1[:, None, None] * sum_v) @ lev["K_eye"]
             a2 = (l2[:, None, None] * ones_sum) @ lev["K_one"]
             z = jnp.concatenate([a1, a2], axis=-1)

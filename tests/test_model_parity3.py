@@ -1394,3 +1394,67 @@ def test_ccn1d_gradients_match_reference_binary(tmp_path):
                                    err_msg=f"grad {name}")
     done()
 
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind,filt,extra,n,V,L,C,seed", [
+    ("smp1d", "steerable", (), 5, 5, 2, 4, 6001),        # depth-3 chain
+    ("smp1dver3", "concat_kk", ("K_eye", "K_one"), 5, 5, 2, 3, 6005),
+])
+def test_smp1d_gradients_match_reference_binary(tmp_path, kind, filt,
+                                                extra, n, V, L, C, seed):
+    """Validates the shared-node lambda weight law at its DEEPEST chain:
+    SMP_1D's lambda -> W_eye -> W_flat(Add) -> W(Reshape2D) is depth 3
+    (weights r(r+1)(r+2)/6); ver3's is depth 1."""
+    from graphflow_tpu.models.smp1d import (SMP1DConfig, init_smp1d_params,
+                                            smp1d_forward)
+    from graphflow_tpu.ops import losses
+
+    nFeat, nDepth, hasWL = 4, 3, 1
+    alpha = 0.0 if filt in ("concat", "concat_kk", "unrestricted2") else 0.01
+    cfg = SMP1DConfig(
+        max_nVertices=V, max_receptive_field=None, nLevels=L, nChanels=C,
+        nFeatures=nFeat, nDepth=nDepth, filter=filt, tower_alpha=alpha,
+        has_WL_ordering=bool(hasWL), dtype="float64")
+    params = _cast64(init_smp1d_params(jax.random.PRNGKey(0), cfg))
+    mol = build_molecule(n, nFeat, seed)
+
+    fn = str(tmp_path / "w.txt")
+    _write_weights(fn, _layout_lambda(V, extra)(params))
+
+    take, done = _tokens(kind, [n, V, L, C, nFeat, nDepth, hasWL, seed, fn,
+                                "grad"])
+    pg = prep.prepare_graph(mol, L, V, None, nDepth,
+                            has_WL_ordering=bool(hasWL), dtype=np.float64)
+    sizes = np.asarray(pg.sizes)
+    n_fwd = 0
+    for l in range(L + 1):
+        Cl = cfg.channels_at(l)
+        for v in range(n):
+            n_fwd += 1 + (int(sizes[l, v]) if l else 1) * Cl
+    n_fwd += cfg.channels_at(L) + 1
+    take(n_fwd)
+
+    g = _g64(pg)
+
+    def loss(p):
+        pred, _ = smp1d_forward(p, g, cfg)
+        return losses.squared_loss(pred, jnp.float64(3.5))
+
+    grads = jax.grad(loss)(params)
+    named = [("H", grads["H"])]
+    for l in range(L):
+        lev = grads["levels"][l]
+        for s in range(1, V + 1):
+            named += [(f"l{l}/lambda1[{s}]", lev["lambda1"][s:s + 1]),
+                      (f"l{l}/lambda2[{s}]", lev["lambda2"][s:s + 1]),
+                      (f"l{l}/b[{s}]", lev["b"][s])]
+        for k in extra:
+            named.append((f"l{l}/{k}", lev[k]))
+    named.append(("W", grads["W"]))
+    for name, got in named:
+        got = np.asarray(got)
+        ref = take(got.size).reshape(got.shape)
+        np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10,
+                                   err_msg=f"grad {name}")
+    done()

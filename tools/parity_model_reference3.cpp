@@ -303,6 +303,13 @@ int main(int argc, char **argv) {
         }
         dump(model->graph_feature);
         printf("%.17g\n", model->predict->value[0]);
+        if (argc > 11 && !strcmp(argv[11], "grad")) {
+            model->target->value[0] = 3.5;
+            model->graph->forward();
+            model->graph->backward();
+            for (size_t i = 0; i < model->sgd->params.size(); ++i)
+                dump_grad(model->sgd->params[i]);
+        }
     }
 #elif defined(PARITY_KIND_LCNN)
     // lcnn n V K nDepth C1 C2 nDense nFeat seed w.txt
