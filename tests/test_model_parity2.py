@@ -43,8 +43,10 @@ def _build():
     if not os.path.isdir(REFERENCE):
         return False
     try:
+        src_mtime = os.path.getmtime(HARNESS_SRC)
         for kind, macro in KINDS.items():
-            if os.path.exists(_bin(kind)):
+            if (os.path.exists(_bin(kind))
+                    and os.path.getmtime(_bin(kind)) > src_mtime):
                 continue
             subprocess.run(
                 ["g++", "-O2", "-std=c++11", "-pthread", f"-I{REFERENCE}",
@@ -478,4 +480,98 @@ def test_smp_2d_ver4_matches_reference_binary(tmp_path, n, V, L, C, hasWL,
                                rtol=1e-9, atol=1e-12,
                                err_msg="graph_feature")
     np.testing.assert_allclose(float(pred), take(1)[0], rtol=1e-9)
+    done()
+
+
+# ----------------------------------------------------------------------
+# GRADIENT parity (round 5): graph->backward() vs jax.grad
+# ----------------------------------------------------------------------
+
+@pytest.mark.parametrize("kind,order,n,V,L,H,R,seed", [
+    ("gcn2d", 2, 6, 6, 2, 5, 1, 1212),
+    ("gcn3d", 3, 6, 6, 2, 4, 1, 1414),
+])
+def test_gcn_gradients_match_reference_binary(tmp_path, kind, order, n, V,
+                                              L, H, R, seed):
+    """Pins the hand-written RisiLayer2D/3D and KMax backwards plus the
+    diagonal Softmax backward through the full GCN loss."""
+    from graphflow_tpu.models.gcn import (GCNConfig, init_gcn_params,
+                                          gcn_forward)
+    from graphflow_tpu.ops import losses
+    import jax.numpy as jnp
+
+    nFeat, nDepth = 4, 3
+    cfg = GCNConfig(nLevels=L, max_nVertices=V, nFeatures=nFeat, nHiddens=H,
+                    nDepth=nDepth, max_Radius=R, order=order,
+                    uncapped_radius=(order == 2), dtype="float64")
+    params = _cast64(init_gcn_params(jax.random.PRNGKey(0), cfg))
+    mol = build_molecule(n, nFeat, seed)
+
+    fn = str(tmp_path / "w.txt")
+    arrays = []
+    for l in range(L + 1):
+        arrays.append(params["levels"][l]["W1"])
+        if l > 0:
+            arrays.append(params["levels"][l]["W2"])
+    arrays.append(params["W"])
+    _write_weights(fn, arrays)
+
+    take, done = _tokens(kind, [n, V, L, H, nFeat, nDepth, R, seed, fn,
+                                "grad"])
+    take((L + 1) * n * H + H + 1)         # skip forward dumps
+
+    pg = prep.prepare_graph(mol, L, V, 1, nDepth, dtype=np.float64)
+    g = _g64(pg)
+
+    def loss(p):
+        pred, _ = gcn_forward(p, g, cfg)
+        return losses.squared_loss(pred, jnp.float64(3.5))
+
+    grads = jax.grad(loss)(params)
+    for l in range(L + 1):
+        for k in (("W1",) if l == 0 else ("W1", "W2")):
+            got = np.asarray(grads["levels"][l][k])
+            ref = take(got.size).reshape(got.shape)
+            np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10,
+                                       err_msg=f"grad level {l} {k}")
+    gotW = np.asarray(grads["W"])
+    np.testing.assert_allclose(gotW, take(gotW.size).reshape(gotW.shape),
+                               rtol=1e-8, atol=1e-10, err_msg="grad W")
+    done()
+
+
+def test_gru_gcn_gradients_match_reference_binary(tmp_path):
+    """Pins the GRU_GCN gate backwards (W/W_z/U_z/W_r/U_r/W_h/U_h/W_g/U_g/U
+    registration order, GRU_GCN_1D.h:180-189)."""
+    from graphflow_tpu.models.gru_gcn import GRU_GCN, gru_gcn_states
+    from graphflow_tpu.ops import losses
+    import jax.numpy as jnp
+
+    n, V, L, H, R, seed = 6, 6, 2, 5, 1, 808
+    nFeat, nDepth = 4, 3
+    model = GRU_GCN(L, V, nFeat, H, nDepth, R, seed=0)
+    params = _cast64(model.params)
+    mol = build_molecule(n, nFeat, seed)
+
+    fn = str(tmp_path / "w.txt")
+    _write_weights(fn, [params[k] for k in model.param_order])
+
+    take, done = _tokens("gru", [n, V, L, H, nFeat, nDepth, R, seed, fn,
+                                 "grad"])
+    take((L + 1) * n * H + n * H + H + 1)  # skip forward dumps
+
+    pg = prep.prepare_graph(mol, L, V, 1, nDepth, dtype=np.float64)
+    g = _g64(pg)
+
+    def loss(p):
+        states, vertex, graph_feat = gru_gcn_states(p, g, L, R, 1, H)
+        pred = jnp.dot(graph_feat, p["U"])
+        return losses.squared_loss(pred, jnp.float64(3.5))
+
+    grads = jax.grad(loss)(params)
+    for k in model.param_order:
+        got = np.asarray(grads[k])
+        ref = take(got.size).reshape(got.shape)
+        np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10,
+                                   err_msg=f"grad {k}")
     done()

@@ -90,6 +90,11 @@ static void dump(Vector *v) {
     printf("\n");
 }
 
+static void dump_grad(Vector *v) {
+    for (int i = 0; i < v->size; ++i) printf("%.17g ", v->gradient[i]);
+    printf("\n");
+}
+
 int main(int argc, char **argv) {
     if (argc < 2) { fprintf(stderr, "usage: see header\n"); return 1; }
     const char *kind = argv[1];
@@ -116,6 +121,17 @@ int main(int argc, char **argv) {
                     dump(model->level[l]->hidden[v]);
             dump(model->final_feature);
             printf("%.17g\n", model->predict->value[0]);
+            if (argc > 11 && !strcmp(argv[11], "grad")) {
+                // GRADIENT PARITY: d(0.5 (predict - 3.5)^2)/d(params) in
+                // registration order (per level W1(,W2); W) — pins the
+                // RisiLayer1D/2D/3D, KMax and (diagonal) Softmax
+                // backwards.
+                model->target->value[0] = 3.5;
+                model->graph->forward();
+                model->graph->backward();
+                for (size_t i = 0; i < model->sgd->params.size(); ++i)
+                    dump_grad(model->sgd->params[i]);
+            }
         }
 #else
         {
@@ -130,6 +146,13 @@ int main(int argc, char **argv) {
                 dump(model->vertex_feature[v]);
             dump(model->graph_feature);
             printf("%.17g\n", model->predict->value[0]);
+            if (argc > 11 && !strcmp(argv[11], "grad")) {
+                model->target->value[0] = 3.5;
+                model->graph->forward();
+                model->graph->backward();
+                for (size_t i = 0; i < model->sgd->params.size(); ++i)
+                    dump_grad(model->sgd->params[i]);
+            }
         }
 #endif
     }
